@@ -1,0 +1,13 @@
+"""Named-query catalog: importing this package registers every query.
+
+Split by surface area; each module corresponds to a SURVEY.md §2 slice:
+    flagship    — the reference's own query (word count / top-N)
+    relational  — joins, aggregates, windows, set ops, scalar functions
+    dedup       — exact + fuzzy deduplication over documents
+    similarity  — vector similarity search over embeddings
+    text        — text analysis (lang-id, quality, tokens, fingerprints)
+    multimodal  — binary-column plumbing
+    streaming   — batch-equivalent window queries (stream tests in tests/)
+"""
+
+from mock_map_reduce_spark.catalog import flagship  # noqa: F401

@@ -1,0 +1,82 @@
+"""Flagship queries — the reference's complete query surface.
+
+word_count + top_words together cover reference operators S1, S4, P1,
+F1, A1+A2, X1+X2, O1, O2, U1 (SURVEY §2.1): the entire data plane of
+the mock-MapReduce system as one declarative plan each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mock_map_reduce_spark.operators import wordcount as wc
+from mock_map_reduce_spark.registry import query
+from mock_map_reduce_spark.sources import load_table
+
+TOP_N = 50
+
+# DuckDB oracle tokenization identical to wc.TOKEN_DELIM_RE: split on
+# non-alphabetic runs, drop empties, preserve case (SURVEY §1.4.2/.5).
+_WORDS_CTE = """
+WITH words AS (
+  SELECT unnest(string_split_regex(text, '[^A-Za-z]+')) AS word
+  FROM documents
+)
+"""
+
+
+@query(
+    "word_count",
+    oracle=_WORDS_CTE
+    + """
+SELECT word, count(*) AS count
+FROM words WHERE word <> ''
+GROUP BY word
+""",
+)
+def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return wc.word_count(load_table(spark, sf_dir, "documents"), "text")
+
+
+@query(
+    "top_words",
+    oracle=_WORDS_CTE
+    + f"""
+SELECT word, count(*) AS count
+FROM words WHERE word <> ''
+GROUP BY word
+ORDER BY count DESC, word ASC
+LIMIT {TOP_N}
+""",
+)
+def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return wc.top_n(load_table(spark, sf_dir, "documents"), "text", n=TOP_N)
+
+
+@query(
+    "word_count_range_partitioned",
+    oracle=_WORDS_CTE
+    + """
+SELECT word, count(*) AS count
+FROM words WHERE word <> ''
+GROUP BY word
+""",
+)
+def q_word_count_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 exact-shape analog (range partition by first letter) — same result."""
+    df = wc.word_count_range_partitioned(load_table(spark, sf_dir, "documents"), "text")
+    return df.select("word", "count")
+
+
+@query(
+    "word_count_mapreduce_contract",
+    oracle=_WORDS_CTE
+    + """
+SELECT word, count(*) AS count
+FROM words WHERE word <> ''
+GROUP BY word
+""",
+)
+def q_word_count_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD1: the literal flatMap/reduceByKey MapReduce contract (demo path)."""
+    return wc.word_count_rdd(load_table(spark, sf_dir, "documents"), "text")

@@ -1,0 +1,85 @@
+"""Table loaders / sinks over the driver-provided parquet testdata.
+
+Reference parity:
+  * S1 HDFS text scan (slave.cc:207-253)  -> ``read_text`` /
+    ``spark.read.text`` — record-aligned (SURVEY §1.4.1: we fix the
+    reference's buffer-boundary word splitting by using real line
+    records).
+  * S2 byte-range chunking (master.cc:760-853, 100 KB chunks at
+    master.cc:778) -> Spark input splits; ``spark.sql.files.
+    maxPartitionBytes`` plays the role of chunk_size. No materialized
+    chunk files.
+  * S4 text/HDFS sink (master.cc:589-626) -> ``write_parquet`` /
+    ``df.write`` — columnar by default.
+
+Scale notes (100 TB): all readers take explicit paths a directory of
+many files; parquet scans get predicate pushdown + column pruning from
+Catalyst for free, so downstream operators must NOT defeat them
+(no ``select("*")`` before filters, no UDF-wrapped predicates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Tables the driver generates at /root/testdata/sf*/ (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor —
+# TPC-H semantics fix region at 5 rows and nation at 25 rows, and
+# supplier/part/customer grow ~linearly but stay far under the
+# broadcast threshold relative to lineitem/orders. Join helpers use
+# this to pick the broadcast side explicitly.
+BROADCAST_SAFE = frozenset({"region", "nation", "supplier", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table as a DataFrame (columnar parquet scan)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    """Read several tables at once: ``li, ords = load_tables(s, d, "lineitem", "orders")``."""
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for ``spark.sql``."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text scan -> DataFrame[value: string].
+
+    The Spark-native form of the reference's readfile()
+    (slave.cc:207-253). Unlike the reference, records are real lines —
+    a word can never straddle a record boundary (SURVEY §1.4.1).
+    """
+    return spark.read.text(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """Columnar sink (replaces the reference's HDFS text sink, master.cc:623-626).
+
+    ``partition_by`` enables partition pruning for downstream readers —
+    at 100 TB, date/tenant partitioning is the difference between a
+    full scan and a pruned one.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
