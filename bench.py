@@ -1,0 +1,73 @@
+"""Benchmark harness — one JSON line for the round driver.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced with a cheap action (``count()`` for unbounded
+results, ``collect()`` for bounded top-k) after a warm-up of the JVM
+and the parquet footer cache. Timings are per-query wall clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Headline set: flagship + one per operator family (kept in sync with
+# the registry as families land). Unbounded results are counted, not
+# collected — the driver's metric is engine throughput, not driver IO.
+HEADLINE = [
+    "word_count",
+    "top_words",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from mock_map_reduce_spark import get_spark, registry
+
+    registry.load_all()
+    spark = get_spark("bench")
+
+    # Warm-up: JVM, codegen, parquet footers — not counted.
+    registry.QUERIES["top_words"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in registry.QUERIES:
+            continue
+        t0 = time.time()
+        df = registry.QUERIES[name](spark, sf_dir)
+        # Bounded results (LIMIT plans) are collected; unbounded counted.
+        if "limit" in df._jdf.queryExecution().optimizedPlan().toString().lower()[:2000]:
+            df.collect()
+        else:
+            df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
