@@ -10,4 +10,8 @@ Split by surface area; each module corresponds to a SURVEY.md §2 slice:
     streaming   — batch-equivalent window queries (stream tests in tests/)
 """
 
-from mock_map_reduce_spark.catalog import flagship  # noqa: F401
+from mock_map_reduce_spark.catalog import (  # noqa: F401
+    flagship,
+    relational,
+    semistructured,
+)

@@ -1,0 +1,75 @@
+"""Relational operator library — the general engine surface.
+
+The reference has NO joins, windows, distinct aggregation, set ops, or
+grouping sets (SURVEY §2.2 — every row "absent"); its only shuffle is
+the word-count exchange. This module supplies that missing surface as
+thin, scale-aware compositions of DataFrame primitives so the catalog
+queries (catalog/relational.py) stay declarative.
+
+Scale notes (100 TB):
+  * ``star_join`` broadcasts every dimension whose name is in
+    sources.BROADCAST_SAFE — a fact-table scan at 100 TB must never
+    shuffle to join a 25-row nation table. Larger dims fall back to
+    Catalyst's choice (sort-merge with AQE skew handling).
+  * ``top_k_per_group`` uses row_number over a window, which shuffles
+    once on the partition key — the same single shuffle the
+    aggregation would need; no global sort.
+  * Nothing here collects, caches, or loops on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from mock_map_reduce_spark.sources.tables import BROADCAST_SAFE
+
+
+def maybe_broadcast(df: DataFrame, table_name: str) -> DataFrame:
+    """Broadcast-hint dimensions that are small at any scale factor."""
+    return F.broadcast(df) if table_name in BROADCAST_SAFE else df
+
+
+def star_join(fact: DataFrame, dims: list[tuple[DataFrame, str, Column]]) -> DataFrame:
+    """Join a fact table against dimensions: [(dim_df, dim_name, on_cond)].
+
+    Dimensions in BROADCAST_SAFE get an explicit broadcast hint; the
+    rest are left to Catalyst/AQE (sort-merge or shuffled-hash with
+    runtime skew splitting).
+    """
+    out = fact
+    for dim, name, cond in dims:
+        out = out.join(maybe_broadcast(dim, name), cond, "inner")
+    return out
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-K rows per group via row_number (single shuffle on the keys).
+
+    ``order_cols`` must make the ordering total (include a unique
+    tie-break column) or results are nondeterministic under retries.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def running_agg(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[Column],
+    agg_col: Column,
+    out_col: str,
+) -> DataFrame:
+    """Running aggregate over a rows-frame window (unbounded preceding → current)."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.sum(agg_col).over(w))

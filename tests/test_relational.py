@@ -1,0 +1,40 @@
+"""Unit tests for the relational operator helpers.
+
+Oracle equivalence for the full queries is covered by
+tools/check_oracle.py (driver gate); these tests pin the helper
+semantics on tiny hand-computed frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from mock_map_reduce_spark.operators.relational import (
+    running_agg,
+    star_join,
+    top_k_per_group,
+)
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", v=3, id=1), Row(g="a", v=5, id=2), Row(g="a", v=5, id=3), Row(g="b", v=1, id=4)]
+    )
+    out = top_k_per_group(df, ["g"], [F.desc("v"), F.asc("id")], k=2).collect()
+    got = {(r.g, r.id, r.rn) for r in out}
+    assert got == {("a", 2, 1), ("a", 3, 2), ("b", 4, 1)}  # tie on v=5 broken by id
+
+
+def test_running_agg(spark):
+    df = spark.createDataFrame([Row(g="a", t=1, v=10), Row(g="a", t=2, v=5), Row(g="b", t=1, v=7)])
+    out = running_agg(df, ["g"], [F.col("t")], F.col("v"), "run").collect()
+    assert {(r.g, r.t, r.run) for r in out} == {("a", 1, 10), ("a", 2, 15), ("b", 1, 7)}
+
+
+def test_star_join_broadcasts_small_dims(spark):
+    fact = spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=20)])
+    dim = spark.createDataFrame([Row(dk=1, name="x"), Row(dk=2, name="y")])
+    out = star_join(fact, [(dim, "nation", F.col("k") == F.col("dk"))])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # dim flagged BROADCAST_SAFE must broadcast
+    assert {(r.k, r.name) for r in out.collect()} == {(1, "x"), (2, "y")}
