@@ -1,0 +1,175 @@
+"""Dedup catalog — exact, MinHash-LSH, n-gram Jaccard, SimHash, clusters.
+
+Oracle strategy: the MinHash pipeline is built on md5 (bit-identical
+in Spark and DuckDB), so even the LSH *candidate generation* is
+oracle-checked — the DuckDB twin re-derives shingles, signatures,
+band buckets, and pairs in SQL. SimHash depends on xxhash64 (no
+DuckDB twin) and connected components is iterative, so those two are
+rows-only here and pinned by pytest with planted duplicates.
+
+Shared constants: 3-word shingles, 16 hashes, 4 bands — at the data's
+planted-duplicate similarity (~0.99 Jaccard) detection probability is
+~1, while ~0.025-Jaccard background pairs almost never band-collide
+(4e-7 per band).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mock_map_reduce_spark.operators import dedup as dd
+from mock_map_reduce_spark.registry import query
+from mock_map_reduce_spark.sources import load_table
+
+NGRAM = 3
+NUM_HASHES = 16
+BANDS = 4
+JACCARD_THRESHOLD = 0.5
+
+# --- shared oracle CTE fragments -------------------------------------------
+
+_TOKS = """
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS w
+  FROM documents
+)"""
+
+_GRAMS = f"""
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - {NGRAM - 1}, 0) + 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+  FROM toks
+)"""
+
+_SIG_COLS = ",\n         ".join(
+    f"min(md5('{i}|' || gram)) AS h{i}" for i in range(NUM_HASHES)
+)
+_SIGS = f"""
+sigs AS (
+  SELECT doc_id,
+         {_SIG_COLS}
+  FROM grams GROUP BY doc_id
+)"""
+
+_ROWS_PER_BAND = NUM_HASHES // BANDS
+_BANDS = "bands AS (\n" + "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {b} AS band_idx, md5({concat}) AS bucket FROM sigs".format(
+        b=b,
+        concat=" || ".join(f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)),
+    )
+    for b in range(BANDS)
+) + "\n)"
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY text
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via sha2 digest groupBy (scale: shuffles 32-byte keys)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup_groups(docs).select("keep_id", "n_copies")
+
+
+@query(
+    "dedup_exact_survivors",
+    oracle="""
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+""",
+)
+def q_dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs).select("doc_id", "n_chars")
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+WITH {_TOKS},
+{_GRAMS},
+{_SIGS}
+SELECT doc_id, h0, h7, h15 FROM sigs
+""",
+)
+def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (3 of 16 columns projected for the compare)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dd.minhash_signatures(docs, NUM_HASHES, NGRAM, use_md5=True)
+    return sig.select("doc_id", "h0", "h7", "h15")
+
+
+@query(
+    "dedup_lsh_candidates",
+    oracle=f"""
+WITH {_TOKS},
+{_GRAMS},
+{_SIGS},
+{_BANDS}
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+""",
+)
+def q_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH candidate generation, oracle-checked end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.lsh_candidate_pairs(docs, NUM_HASHES, BANDS, NGRAM, use_md5=True)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_TOKS},
+{_GRAMS},
+sizes AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(ns AS DOUBLE) / (sa.ng + sb.ng - ns) AS jaccard
+FROM shared
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(ns AS DOUBLE) / (sa.ng + sb.ng - ns) >= {JACCARD_THRESHOLD}
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard >= 0.5 — finds the corpus's planted near-dups."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, NGRAM, JACCARD_THRESHOLD)
+
+
+@query("dedup_simhash")  # xxhash64 has no DuckDB twin -> rows-only; pytest pins it
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash(docs)
+
+
+@query("dedup_simhash_candidates")  # rows-only (same reason)
+def q_dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_candidate_pairs(docs, BANDS)
+
+
+@query("dedup_clusters")  # iterative label propagation -> not single-statement SQL
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: LSH candidates -> connected components.
+
+    Returns only docs whose component differs from themselves or that
+    head a multi-doc cluster (i.e., docs involved in duplication).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dd.lsh_candidate_pairs(docs, NUM_HASHES, BANDS, NGRAM, use_md5=True)
+    comp = dd.connected_components(edges, docs.select("doc_id"))
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .filter(F.col("cluster_size") > 1)
+        .select("doc_id", "component", "cluster_size")
+    )

@@ -1,0 +1,363 @@
+"""Deduplication operators over document tables — LLM-pipeline surface.
+
+The reference has no dedup (its one query is word count); this family
+is part of the engine's north-star extension (SURVEY §7 M3). All
+operators are pure DataFrame compositions — no collect loops except
+the bounded label-propagation iteration in ``connected_components``.
+
+Scale design (100 TB):
+  * Exact dedup shuffles 16-byte digests, never full texts.
+  * MinHash-LSH: cost is O(docs x num_hashes) map-side + one shuffle
+    per band groupBy; candidate pairs are generated per-bucket, never
+    via cross join. ``max_bucket_size`` caps degenerate buckets (the
+    classic boilerplate-text skew guard) — a bucket of B docs emits
+    B^2/2 pairs, so one viral boilerplate string would otherwise emit
+    billions.
+  * Hash function is pluggable: md5 (bit-identical in DuckDB — used
+    by the oracle-checked catalog entries) or xxhash64 (faster JVM
+    path for production).
+  * Connected components: iterative smallest-label propagation over
+    the candidate edge list; iterations are O(log(diameter)) and each
+    is one join + agg — the standard scale-out approach when edges
+    don't fit one machine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Normalized tokens for fuzzy dedup: lowercase alphabetic runs.
+_TOKEN_RE = "[^A-Za-z]+"
+
+
+def _norm_tokens(text_col: str) -> Column:
+    toks = F.split(F.lower(F.col(text_col)), _TOKEN_RE)
+    return F.filter(toks, lambda x: x != "")
+
+
+def content_hash(text_col: str = "text") -> Column:
+    """256-bit content digest — collision-safe key for exact dedup at 100 TB."""
+    return F.sha2(F.col(text_col), 256)
+
+
+def exact_dedup_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct content: (keep_id = min id, n_copies).
+
+    groupBy on the digest, not the text — the shuffle carries 32-byte
+    keys instead of document bodies.
+    """
+    return (
+        docs.select(content_hash(text_col).alias("chash"), F.col(id_col))
+        .groupBy("chash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Surviving rows after exact dedup (keeps the min-id copy of each text)."""
+    keep = exact_dedup_groups(docs, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, gram).
+
+    Grams are built JVM-side with transform over an index sequence —
+    no Python in the loop. Docs shorter than n words yield no grams.
+    """
+    toks = _norm_tokens(text_col)
+    # Guard: F.sequence(0, -1) would count DOWN; docs with < n tokens
+    # must yield an empty index list, not grams at negative offsets.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return docs.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+
+
+def _gram_hash(seed: int, use_md5: bool) -> Column:
+    if use_md5:
+        return F.md5(F.concat(F.lit(f"{seed}|"), F.col("gram")))
+    return F.xxhash64(F.lit(seed), F.col("gram")).cast("string")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_md5: bool = True,
+) -> DataFrame:
+    """MinHash signature per doc: (id, h0..h{k-1}).
+
+    One shuffle (groupBy id) computing k min-aggregates — the k
+    "permutations" are seeded hash functions, the min over a doc's
+    shingle set approximates the Jaccard-preserving permutation min.
+    md5 keeps the catalog entries oracle-checkable; xxhash64 is the
+    production fast path (use_md5=False).
+    """
+    g = shingles(docs, n, text_col, id_col)
+    aggs = [
+        F.min(_gram_hash(i, use_md5)).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    return g.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_buckets(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band_idx, bucket) — docs sharing a bucket are candidates.
+
+    bucket = digest of the band's hash slice; rows/band = k/bands.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    rows = num_hashes // bands
+    per_band = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        per_band.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("", *cols)).alias("bucket"),
+            )
+        )
+    out = per_band[0]
+    for p in per_band[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_md5: bool = True,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH bucket.
+
+    Pairs are generated by a per-bucket self-join — never a cross
+    join. ``max_bucket_size`` drops degenerate buckets before the
+    join (skew guard for boilerplate-heavy corpora).
+    """
+    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col, use_md5)
+    buckets = lsh_band_buckets(sig, num_hashes, bands, id_col)
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band_idx", "bucket").agg(F.count("*").alias("bsz"))
+        buckets = buckets.join(
+            sizes.filter(F.col("bsz") <= max_bucket_size).drop("bsz"),
+            ["band_idx", "bucket"],
+        )
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), "band_idx", "bucket"
+    )
+    b = buckets.select(F.col(id_col).alias("id_b"), "band_idx", "bucket")
+    return (
+        a.join(b, ["band_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (verification pass over candidates, or standalone)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets: (id_a, id_b, jaccard).
+
+    Pairs are generated ONLY through shared shingles (inverted-index
+    join), so disjoint docs never meet — no cross join. jaccard is a
+    ratio of exact integer counts: bit-identical across engines.
+
+    100 TB note: a shingle shared by D docs emits D^2 join rows; for
+    web-scale corpora run this AFTER lsh_candidate_pairs (semi-join
+    the shingle table on candidates) or cap document frequency of
+    shingles — the standard "stop-shingle" guard.
+    """
+    g = shingles(docs, n, text_col, id_col)
+    sizes = g.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    a = g.select(F.col(id_col).alias("id_a"), "gram")
+    b = g.select(F.col(id_col).alias("id_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    docs: DataFrame,
+    bits: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash digest per doc: (id, simhash long).
+
+    Token-level 64-bit hashes vote per bit (+1 if set, -1 if not);
+    the digest takes the sign of each bit's tally. Whole pipeline is
+    JVM-side: explode tokens -> xxhash64 -> per-bit ±1 array
+    (transform over bit positions) -> elementwise sum (explode +
+    groupBy) -> sign -> bits folded back into one long.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(_norm_tokens(text_col)).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    # Per-token ±1 vote per bit; bit positions are Python literals so
+    # shiftright gets the int it requires.
+    bit_votes = F.array(
+        *[
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            for b in range(bits)
+        ]
+    )
+    votes = toks.select(
+        F.col(id_col), F.posexplode(bit_votes).alias("bit", "vote")
+    )
+    tallies = votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("tally"))
+    return tallies.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("tally") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    bands: int = 4,
+    bits: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs whose simhash matches on >= 1 of ``bands`` bit-blocks.
+
+    Standard Hamming-LSH: two docs within (bands-1) bit flips always
+    share a block. Block extraction via shift/mask, grouped join as in
+    MinHash-LSH.
+    """
+    block_bits = bits // bands
+    mask = (1 << block_bits) - 1
+    sh = simhash(docs, bits, text_col, id_col)
+    blocks = None
+    for b in range(bands):
+        part = sh.select(
+            F.col(id_col),
+            F.lit(b).alias("band_idx"),
+            F.shiftright(F.col("simhash"), b * block_bits).bitwiseAND(F.lit(mask)).alias("bucket"),
+        )
+        blocks = part if blocks is None else blocks.unionAll(part)
+    a = blocks.select(F.col(id_col).alias("id_a"), "band_idx", "bucket")
+    b2 = blocks.select(F.col(id_col).alias("id_b"), "band_idx", "bucket")
+    return (
+        a.join(b2, ["band_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (duplicate clusters from candidate edges)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component = smallest reachable id) via label propagation.
+
+    Each iteration: every node adopts the min label among itself and
+    its neighbors; converges in O(log diameter) rounds for duplicate
+    clusters (which are near-cliques, so 2-3 rounds in practice).
+    Driver only checks a scalar convergence flag per round — labels
+    never leave the cluster.
+    """
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    )
+    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("component"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        # localCheckpoint would truncate lineage here on a real cluster;
+        # duplicate clusters converge in 2-3 rounds so lineage stays short.
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), "component")

@@ -1,0 +1,103 @@
+"""Dedup operator tests with planted duplicates (SURVEY §7 M3).
+
+The oracle gate covers exact/minhash/jaccard equivalence with DuckDB;
+these tests pin semantic behavior — planted near-dups must be found,
+unrelated docs must not collide — including the xxhash64 paths the
+oracle can't check.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from mock_map_reduce_spark.operators import dedup as dd
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR_DUP = BASE.replace("warm", "cold")  # one word changed
+UNRELATED = (
+    "stock markets rallied sharply today as investors cheered strong "
+    "earnings reports from major technology companies around the world"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text=BASE),
+        Row(doc_id=2, text=BASE),  # exact duplicate of 1
+        Row(doc_id=3, text=NEAR_DUP),  # near duplicate of 1
+        Row(doc_id=4, text=UNRELATED),
+        Row(doc_id=5, text="tiny"),  # shorter than the shingle width
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup_groups(docs):
+    groups = {r.keep_id: r.n_copies for r in dd.exact_dedup_groups(docs).collect()}
+    assert groups == {1: 2, 3: 1, 4: 1, 5: 1}
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = {r.doc_id for r in dd.exact_dedup(docs).collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_shingles_short_doc_empty(docs):
+    g = dd.shingles(docs, n=3)
+    assert g.filter("doc_id = 5").count() == 0  # 1 token < n -> no grams
+
+
+def test_lsh_finds_planted_near_dups(docs):
+    # 8 bands x 2 rows: detection probability ~0.999 at jaccard 0.75
+    # (the one-word-changed near-dup); 4x4 default would miss ~22%.
+    pairs = {(r.id_a, r.id_b) for r in dd.lsh_candidate_pairs(docs, bands=8).collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs and (2, 3) in pairs  # near dup collides
+    assert not any(4 in p or 5 in p for p in pairs)  # unrelated/short never
+
+
+def test_lsh_xxhash_fast_path_agrees_on_planted(docs):
+    pairs = {(r.id_a, r.id_b) for r in dd.lsh_candidate_pairs(docs, bands=8, use_md5=False).collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_lsh_bucket_size_cap(docs):
+    # cap of 1 drops every bucket with >=2 docs -> no pairs at all
+    pairs = dd.lsh_candidate_pairs(docs, max_bucket_size=1).collect()
+    assert pairs == []
+
+
+def test_ngram_jaccard_values(docs):
+    got = {(r.id_a, r.id_b): r.jaccard for r in dd.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert got[(1, 2)] == 1.0  # identical shingle sets
+    assert 0.5 < got[(1, 3)] < 1.0  # one changed word
+    assert (1, 4) not in got
+
+
+def test_simhash_near_dup_close_unrelated_far(docs):
+    sh = {r.doc_id: r.simhash for r in dd.simhash(docs).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert sh[1] == sh[2]  # identical text -> identical digest
+    assert hamming(sh[1], sh[3]) < hamming(sh[1], sh[4])  # near-dup closer
+
+
+def test_simhash_candidates_contain_planted(docs):
+    pairs = {(r.id_a, r.id_b) for r in dd.simhash_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+
+
+def test_connected_components_clusters(spark, docs):
+    edges = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=6, id_b=7)]
+    )
+    ids = spark.createDataFrame([Row(doc_id=i) for i in [1, 2, 3, 4, 6, 7]])
+    comp = {r.doc_id: r.component for r in dd.connected_components(edges, ids).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 6: 6, 7: 6}
