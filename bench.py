@@ -27,6 +27,16 @@ sys.path.insert(0, REPO)
 HEADLINE = [
     "word_count",
     "top_words",
+    "pricing_summary",
+    "revenue_by_nation",
+    "window_row_number",
+    "dedup_exact",
+    "dedup_lsh_candidates",
+    "dedup_ngram_jaccard",
+    "similarity_topk_bruteforce",
+    "text_tfidf",
+    "session_windows",
+    "asof_join_purchases",
 ]
 
 

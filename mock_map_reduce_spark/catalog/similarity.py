@@ -1,0 +1,76 @@
+"""Similarity-search catalog: brute-force cosine top-k, threshold
+pairs, LSH-bucketed ANN.
+
+Oracle determinism: both engines compute dot/norm as a sequential
+left-to-right fold over doubles (Spark F.aggregate; DuckDB
+list_reduce), so even un-rounded cosines are bit-identical — rounding
+to 6 is belt-and-braces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mock_map_reduce_spark.operators import similarity as sim
+from mock_map_reduce_spark.registry import query
+from mock_map_reduce_spark.sources import load_table
+
+TOP_K = 10
+N_QUERIES = 5  # query set = vec_id < 5
+PAIR_THRESHOLD = 0.4  # corpus max pairwise cosine is ~0.51; 0.95+ would be vacuous
+EMB_DIM = 64
+
+_V = "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+_DOT = "list_reduce(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]), (x, y) -> x + y)"
+_NORM = "sqrt(list_reduce(list_transform({a}, x -> x*x), (x, y) -> x + y))"
+
+
+def _cos(a: str, b: str) -> str:
+    return f"{_DOT.format(a=a, b=b)} / ({_NORM.format(a=a)} * {_NORM.format(a=b)})"
+
+
+@query(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+WITH {_V},
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT query_id, v.vec_id AS neighbor_id, {_cos("qe", "v.e")} AS cos
+  FROM v CROSS JOIN q
+  WHERE v.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""",
+)
+def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for a 5-vector query set against the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return sim.brute_force_topk(emb, queries, k=TOP_K)
+
+
+@query(
+    "similarity_pairs_above",
+    oracle=f"""
+WITH {_V}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_cos("a.e", "b.e")}, 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {_cos("a.e", "b.e")} >= {PAIR_THRESHOLD}
+""",
+)
+def q_similarity_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup mining: all pairs with cosine >= 0.4."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_pairs_above(emb, PAIR_THRESHOLD)
+
+
+@query("similarity_ann_lsh")  # approximate by construction -> rows-only; pytest pins recall
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (8-bit hyperplane signatures, Hamming-1 multiprobe)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return sim.ann_topk_lsh(emb, queries, dim=EMB_DIM, k=TOP_K, nbits=8)

@@ -1,0 +1,134 @@
+"""Text-analysis catalog: token stats, quality, language-ID,
+fingerprints, TF-IDF — every one oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mock_map_reduce_spark.operators import text as tx
+from mock_map_reduce_spark.registry import query
+from mock_map_reduce_spark.sources import load_table
+
+_TOKS = """
+toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS w
+  FROM documents
+)"""
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang]) + "]"
+
+
+@query(
+    "text_token_stats",
+    oracle=r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_pieces,
+       length(text) AS n_chars
+FROM documents
+""",
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+WITH {_TOKS},
+feat AS (
+  SELECT doc_id,
+         len(w) AS n_toks,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(text) AS n_chars,
+         len(list_filter(w, t -> list_contains({_sw_list("en")}, t))) AS n_stop,
+         len(list_distinct(w)) AS n_distinct
+  FROM toks
+),
+ratios AS (
+  SELECT doc_id,
+         CASE WHEN n_toks > 0 THEN CAST(n_alpha AS DOUBLE) / n_toks ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_toks > 0 THEN CAST(n_stop AS DOUBLE) / n_toks ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN n_toks > 0 THEN CAST(n_distinct AS DOUBLE) / n_toks ELSE 0.0 END AS distinct_ratio
+  FROM feat
+)
+SELECT doc_id,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(distinct_ratio, 6) AS distinct_token_ratio,
+       round(least(mean_word_len / 8.0, 1.0) * 0.25
+             + least(stop_ratio * 4.0, 1.0) * 0.25
+             + alpha_ratio * 0.25
+             + distinct_ratio * 0.25, 6) AS quality_score
+FROM ratios
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+_LANG_SCORES = ",\n         ".join(
+    f"CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, t -> list_contains({_sw_list(lang)}, t))) AS DOUBLE) / len(w) ELSE 0.0 END AS s_{lang}"
+    for lang in sorted(tx.STOPWORDS)
+)
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+WITH {_TOKS},
+scores AS (
+  SELECT doc_id,
+         {_LANG_SCORES}
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+            WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+            WHEN s_en >= s_de THEN 'en'
+            ELSE 'de' END AS lang_pred,
+       round(greatest(s_de, s_en, s_es, s_fr), 6) AS lang_score
+FROM scores
+""",
+)
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting lang-ID; ties break to the largest language code."""
+    return tx.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+WITH {_TOKS}
+SELECT doc_id, md5(array_to_string(w, ' ')) AS fingerprint FROM toks
+""",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT doc_id, word, tf, df,
+       round(tf * (ln((n_docs + 1.0) / (df + 1)) + 1.0), 6) AS tfidf
+FROM tf JOIN df USING (word) CROSS JOIN n
+""",
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.tf_idf(load_table(spark, sf_dir, "documents"))

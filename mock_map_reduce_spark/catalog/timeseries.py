@@ -1,0 +1,160 @@
+"""Time-series catalog — tumbling/sliding windows, sessions, as-of join.
+
+Oracles use CAST(ts AS TIMESTAMP) to truncate DuckDB's nanosecond
+events timestamps to microseconds — the same truncation the Spark
+loader applies (sources/tables.py) — and integer-microsecond
+arithmetic everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mock_map_reduce_spark.operators import timeseries as ts
+from mock_map_reduce_spark.registry import query
+from mock_map_reduce_spark.sources import load_table
+
+_E = "e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events)"
+_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "tumbling_window_counts",
+    oracle=f"""
+WITH {_E}
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, t), '{_FMT}') AS window_start,
+       strftime(time_bucket(INTERVAL 1 HOUR, t) + INTERVAL 1 HOUR, '{_FMT}') AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM e
+GROUP BY 1, 2, 3
+""",
+)
+def q_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return ts.tumbling_agg(events, "1 hour", group_cols=["event_type"])
+
+
+@query(
+    "sliding_window_counts",
+    oracle=f"""
+WITH {_E},
+w AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, t) AS ws FROM e
+  UNION ALL
+  SELECT time_bucket(INTERVAL 30 MINUTE, t) - INTERVAL 30 MINUTE AS ws FROM e
+)
+SELECT strftime(ws, '{_FMT}') AS window_start, COUNT(*) AS n_events
+FROM w GROUP BY ws
+""",
+)
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min: each event lands in exactly 2."""
+    events = load_table(spark, sf_dir, "events")
+    return ts.sliding_agg(events, "1 hour", "30 minutes")
+
+
+@query(
+    "session_windows",
+    oracle=f"""
+WITH {_E},
+l AS (
+  SELECT user_id, event_id, t,
+         lag(epoch_us(t)) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev_us
+  FROM e
+),
+f AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN prev_us IS NULL OR (epoch_us(t) - prev_us) > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM l
+),
+s AS (
+  SELECT user_id, t,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM f
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       strftime(min(t), '{_FMT}') AS session_start,
+       (epoch_us(max(t)) - epoch_us(min(t))) // 1000000 AS duration_s
+FROM s GROUP BY 1, 2
+""",
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization per user (batch twin of session_window)."""
+    events = load_table(spark, sf_dir, "events")
+    return ts.sessionize(events, gap_seconds=1800)
+
+
+@query(
+    "asof_join_purchases",
+    oracle=f"""
+WITH {_E},
+u AS (
+  SELECT event_id, user_id, t,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side,
+         CASE WHEN event_type = 'click' THEN event_id END AS c_id
+  FROM e WHERE event_type IN ('purchase', 'click')
+),
+m AS (
+  SELECT *,
+         last_value(c_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, side, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+  FROM u
+)
+SELECT event_id, user_id, strftime(t, '{_FMT}') AS purchase_ts, last_click_id
+FROM m WHERE side = 1
+""",
+)
+def q_asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the user's latest click at-or-before it."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    clicks = events.filter(F.col("event_type") == "click")
+    out = ts.asof_join(
+        purchases,
+        clicks,
+        key_col="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols={"event_id": "last_click_id"},
+        left_id="event_id",
+        right_id="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", ts.TS_FMT).alias("purchase_ts"),
+        "last_click_id",
+    )
+
+
+@query(
+    "range_join_banded",
+    oracle="""
+WITH bands(band, lo, hi) AS (
+  VALUES ('neg', -10000.0, 0.0), ('low', 0.0, 2500.0),
+         ('mid', 2500.0, 5000.0), ('high', 5000.0, 7500.0), ('top', 7500.0, 10000.0)
+)
+SELECT band, COUNT(*) AS n_customers
+FROM customer JOIN bands ON c_acctbal >= lo AND c_acctbal < hi
+GROUP BY band
+""",
+)
+def q_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range-predicate) join against a broadcast bands dim."""
+    cust = load_table(spark, sf_dir, "customer")
+    bands = spark.createDataFrame(
+        [("neg", -10000.0, 0.0), ("low", 0.0, 2500.0), ("mid", 2500.0, 5000.0),
+         ("high", 5000.0, 7500.0), ("top", 7500.0, 10000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        cust.join(
+            F.broadcast(bands),
+            (F.col("c_acctbal") >= F.col("lo")) & (F.col("c_acctbal") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_customers"))
+    )

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from mock_map_reduce_spark.functions.partitioning import spread as _spread
+
 # Normalized tokens for fuzzy dedup: lowercase alphabetic runs.
 _TOKEN_RE = "[^A-Za-z]+"
 
@@ -76,22 +78,40 @@ def shingles(
     Grams are built JVM-side with transform over an index sequence —
     no Python in the loop. Docs shorter than n words yield no grams.
     """
-    toks = _norm_tokens(text_col)
-    # Guard: F.sequence(0, -1) would count DOWN; docs with < n tokens
-    # must yield an empty index list, not grams at negative offsets.
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return docs.select(
-        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    return (
+        _spread(docs.select(F.col(id_col), F.col(text_col)))
+        # Materialize tokens BEFORE the gram transform: referencing the
+        # split/filter expression inside the lambda would re-evaluate
+        # the regex split once PER GRAM (no common-subexpression
+        # elimination inside higher-order functions) — O(tokens^2).
+        .select(F.col(id_col), _norm_tokens(text_col).alias("__toks"))
+        .select(F.col(id_col), F.explode(_grams_of(F.col("__toks"), n)).alias("gram"))
     )
 
 
-def _gram_hash(seed: int, use_md5: bool) -> Column:
+def _gram_hash(seed: int, gram: Column, use_md5: bool) -> Column:
     if use_md5:
-        return F.md5(F.concat(F.lit(f"{seed}|"), F.col("gram")))
-    return F.xxhash64(F.lit(seed), F.col("gram")).cast("string")
+        return F.md5(F.concat(F.lit(f"{seed}|"), gram))
+    return F.xxhash64(F.lit(seed), gram).cast("string")
+
+
+def _grams_of(toks: Column, n: int) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED token array column.
+
+    ``toks`` must be a plain column reference (not an inline split
+    expression): the transform lambda evaluates its operand expression
+    per element, so an inline tokenizer would re-run the regex split
+    once per gram — O(tokens^2) per document.
+
+    Guard: F.sequence(0, -1) would count DOWN; docs with < n tokens
+    must yield an empty index list, not grams at negative offsets.
+    """
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
 
 
 def minhash_signatures(
@@ -102,19 +122,36 @@ def minhash_signatures(
     id_col: str = "doc_id",
     use_md5: bool = True,
 ) -> DataFrame:
-    """MinHash signature per doc: (id, h0..h{k-1}).
+    """MinHash signature per doc: (id, h0..h{k-1}) — MAP-ONLY.
 
-    One shuffle (groupBy id) computing k min-aggregates — the k
-    "permutations" are seeded hash functions, the min over a doc's
-    shingle set approximates the Jaccard-preserving permutation min.
+    Each signature column is array_min over the doc's own shingle
+    array (higher-order transform), so signatures involve NO shuffle
+    at all — a pure map stage over the corpus scan. The k
+    "permutations" are seeded hash functions; min over the shingle
+    set approximates the Jaccard-preserving permutation min.
     md5 keeps the catalog entries oracle-checkable; xxhash64 is the
     production fast path (use_md5=False).
+
+    Docs with fewer than n tokens have no shingles and are excluded
+    (same as the groupBy-over-exploded-grams formulation).
     """
-    g = shingles(docs, n, text_col, id_col)
-    aggs = [
-        F.min(_gram_hash(i, use_md5)).alias(f"h{i}") for i in range(num_hashes)
+    def hash_fn(seed: int):
+        # NB: a `lambda g, i=seed:` would NOT work — PySpark treats a
+        # 2-parameter lambda as (element, array_index) and overwrites
+        # the default with the index column.
+        return lambda g: _gram_hash(seed, g, use_md5)
+
+    sigs = [
+        F.array_min(F.transform(F.col("__grams"), hash_fn(i))).alias(f"h{i}")
+        for i in range(num_hashes)
     ]
-    return g.groupBy(id_col).agg(*aggs)
+    return (
+        _spread(docs.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), _norm_tokens(text_col).alias("__toks"))
+        .select(F.col(id_col), _grams_of(F.col("__toks"), n).alias("__grams"))
+        .filter(F.size("__grams") > 0)
+        .select(F.col(id_col), *sigs)
+    )
 
 
 def lsh_band_buckets(
@@ -130,20 +167,18 @@ def lsh_band_buckets(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     rows = num_hashes // bands
-    per_band = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
-        per_band.append(
-            signatures.select(
-                F.col(id_col),
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws("", *cols)).alias("bucket"),
-            )
-        )
-    out = per_band[0]
-    for p in per_band[1:]:
-        out = out.unionAll(p)
-    return out
+    # Single pass: build all band digests as one array and posexplode —
+    # a unionAll of per-band selects would re-evaluate the signature
+    # expressions once per band.
+    band_arr = F.array(
+        *[
+            F.md5(F.concat_ws("", *[F.col(f"h{b * rows + r}") for r in range(rows)]))
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band_idx", "bucket")
+    )
 
 
 def lsh_candidate_pairs(
@@ -163,7 +198,12 @@ def lsh_candidate_pairs(
     join (skew guard for boilerplate-heavy corpora).
     """
     sig = minhash_signatures(docs, num_hashes, n, text_col, id_col, use_md5)
-    buckets = lsh_band_buckets(sig, num_hashes, bands, id_col)
+    # Materialize one exchange on the join keys: both sides of the
+    # self-join below share it (ReusedExchange), so the signature
+    # computation (k hashes over every shingle) runs exactly once.
+    buckets = lsh_band_buckets(sig, num_hashes, bands, id_col).repartition(
+        "band_idx", "bucket"
+    )
     if max_bucket_size is not None:
         sizes = buckets.groupBy("band_idx", "bucket").agg(F.count("*").alias("bsz"))
         buckets = buckets.join(
@@ -249,7 +289,7 @@ def simhash(
     (transform over bit positions) -> elementwise sum (explode +
     groupBy) -> sign -> bits folded back into one long.
     """
-    toks = docs.select(
+    toks = _spread(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(_norm_tokens(text_col)).alias("tok")
     )
     h = F.xxhash64("tok")
@@ -291,14 +331,17 @@ def simhash_candidate_pairs(
     block_bits = bits // bands
     mask = (1 << block_bits) - 1
     sh = simhash(docs, bits, text_col, id_col)
-    blocks = None
-    for b in range(bands):
-        part = sh.select(
-            F.col(id_col),
-            F.lit(b).alias("band_idx"),
-            F.shiftright(F.col("simhash"), b * block_bits).bitwiseAND(F.lit(mask)).alias("bucket"),
-        )
-        blocks = part if blocks is None else blocks.unionAll(part)
+    # One pass over the (shuffle-produced) simhash column — a unionAll
+    # would recompute the whole simhash aggregation per band.
+    block_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * block_bits).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    blocks = sh.select(
+        F.col(id_col), F.posexplode(block_arr).alias("band_idx", "bucket")
+    )
     a = blocks.select(F.col(id_col).alias("id_a"), "band_idx", "bucket")
     b2 = blocks.select(F.col(id_col).alias("id_b"), "band_idx", "bucket")
     return (

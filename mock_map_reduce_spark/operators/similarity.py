@@ -1,0 +1,215 @@
+"""Vector similarity search over embedding columns (array<float>).
+
+North-star extension surface (SURVEY §7 M3): brute-force cosine top-k
+as the exact baseline, random-hyperplane LSH as the scale path, plus
+threshold-pair mining (embedding near-dup detection).
+
+Scale design (100 TB of vectors):
+  * All arithmetic is JVM-side higher-order functions (F.aggregate /
+    F.zip_with on doubles) — no Python in the row loop.
+  * Brute force is a broadcast of the QUERY SET (small) against the
+    corpus — one scan, no shuffle of the corpus, TakeOrdered bounds
+    the result. Cost O(corpus x queries): right answer when queries
+    are few; becomes the verification baseline otherwise.
+  * LSH path: k sign-bits from random hyperplanes -> corpus grouped
+    by bucket; queries probe their own bucket (+ optional multiprobe
+    neighbors at Hamming distance 1). Corpus-side work drops to the
+    probed buckets only. Hyperplanes are seeded-deterministic and
+    shipped as literal arrays (they are nbits x dim floats — tiny).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from mock_map_reduce_spark.functions.partitioning import spread
+
+
+def as_double_array(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold — deterministic across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+
+    ``queries`` must be small (it is broadcast); the corpus is scanned
+    once with no shuffle — the only exchange is the per-query top-k
+    window, which AQE keeps bounded because rows are pre-filtered to
+    k per partition by the window's rank predicate pushdown... in
+    practice use a modest query batch (<= a few thousand).
+    Self-matches (same id) are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), as_double_array(vec_col).alias("qvec")
+    )
+    c = spread(corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cvec")
+    ))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def cosine_pairs_above(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold — embedding near-dup mining.
+
+    O(n^2/2) comparisons: exact baseline for modest corpora and the
+    verification pass over LSH candidates at scale (pass a candidate
+    pair DataFrame through ``score_pairs`` instead for that).
+    """
+    a = spread(emb.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("va")))
+    b = emb.select(F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (sign-bit signatures)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-Gaussian hyperplanes (Box-Muller over an LCG).
+
+    No numpy on the executors — these are computed once on the driver
+    and inlined as literals.
+    """
+    state = seed & 0x7FFFFFFF or 1
+    planes: list[list[float]] = []
+
+    def lcg() -> float:  # uniform (0,1)
+        nonlocal state
+        state = (1103515245 * state + 12345) % (1 << 31)
+        return (state + 1) / float((1 << 31) + 1)
+
+    for _ in range(nbits):
+        row = []
+        for _ in range(dim):
+            u1, u2 = lcg(), lcg()
+            row.append(math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2))
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(
+    vec_col: Column, dim: int, nbits: int = 16, seed: int = 42
+) -> Column:
+    """Sign-bit bucket id (long) for a vector column."""
+    planes = _hyperplanes(dim, nbits, seed)
+    v = as_double_array(vec_col)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(v, p) >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + bit
+    return bucket
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    nbits: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket (+Hamming-1 neighbors).
+
+    Corpus is bucketed once; each query joins only its probed buckets,
+    then exact cosine ranks the candidates. With b bits the corpus
+    shrinks ~2^b-fold per probe; multiprobe trades (b+1)x candidates
+    for much better recall.
+    """
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("cvec"),
+        lsh_bucket(F.col(vec_col), dim, nbits, seed).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias(query_id_col),
+        as_double_array(vec_col).alias("qvec"),
+        lsh_bucket(F.col(vec_col), dim, nbits, seed).alias("qbucket"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[
+                F.col("qbucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(nbits)
+            ],
+        )
+    else:
+        probes = F.array(F.col("qbucket"))
+    q = qb.select(
+        query_id_col, "qvec", F.explode(probes).alias("bucket")
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

@@ -1,0 +1,170 @@
+"""Text analysis operators — language-ID, quality scoring, token stats,
+fingerprinting, TF-IDF.
+
+LLM-pipeline extension surface (SURVEY §7 M3). Everything is built-in
+column expressions (codegen'd, Arrow-free); ratios are int/int double
+divisions so results are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from mock_map_reduce_spark.functions.partitioning import spread
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language identifier. Deliberately minimal — the operator's value is
+# the *plan shape* (pure column expressions, no UDF); swap in real
+# lists for production.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+    "de": ["der", "die", "und", "das", "von", "mit", "den", "ist"],
+}
+
+_WS_RE = r"\s+"
+# BPE-ish pre-tokenization: letter runs, digit runs, or single
+# non-space symbols — the common GPT-2-style pre-split shape.
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _ws_tokens(text_col: str) -> Column:
+    return F.filter(F.split(F.col(text_col), _WS_RE), lambda x: x != "")
+
+
+def _word_tokens(text_col: str) -> Column:
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
+    )
+
+
+def token_stats(docs_in: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counts per doc: whitespace tokens, BPE-ish pieces, chars."""
+    docs = spread(docs_in.select(id_col, text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(_ws_tokens(text_col)).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_RE), 0)).cast("long").alias("n_bpe_pieces"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+
+
+def quality_score(docs_in: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score per doc.
+
+    Features (all deterministic ratios):
+      * mean_word_len — chars per word token
+      * stopword_ratio — fraction of tokens in the English stopword list
+      * alpha_ratio — alphabetic chars / all chars
+      * dedup_token_ratio — distinct tokens / tokens (repetition guard)
+    score = weighted blend, bounded [0, 1]-ish; rounded to 6.
+    """
+    toks = _word_tokens(text_col)
+    n_toks = F.size(toks)
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    n_chars = F.length(text_col)
+    mean_word_len = F.when(n_toks > 0, n_alpha.cast("double") / n_toks).otherwise(0.0)
+    stop_ratio = F.when(n_toks > 0, n_stop.cast("double") / n_toks).otherwise(0.0)
+    alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(0.0)
+    distinct_ratio = F.when(
+        n_toks > 0, F.size(F.array_distinct(toks)).cast("double") / n_toks
+    ).otherwise(0.0)
+    score = (
+        F.least(mean_word_len / 8.0, F.lit(1.0)) * 0.25
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.25
+        + alpha_ratio * 0.25
+        + distinct_ratio * 0.25
+    )
+    docs = spread(docs_in.select(id_col, text_col))
+    return docs.select(
+        F.col(id_col),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_token_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(docs_in: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-voting language ID: (id, lang_pred, lang_score).
+
+    Per language: fraction of tokens in that language's stopword list;
+    argmax with deterministic tie-break on language code. 'und' when
+    no list scores > 0.
+    """
+    toks = _word_tokens(text_col)
+    n_toks = F.size(toks)
+    scores = []
+    for lang in sorted(STOPWORDS):
+        sw = F.array([F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        scores.append(
+            F.struct(
+                F.when(n_toks > 0, hits.cast("double") / n_toks).otherwise(0.0).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # array_max compares structs field-by-field: highest score wins;
+    # equal scores tie-break to the lexicographically LARGEST language
+    # code (documented contract, mirrored in the SQL oracle).
+    best = F.array_max(F.array(*scores))
+    docs = spread(docs_in.select(id_col, text_col))
+    return docs.select(
+        F.col(id_col),
+        F.when(best["score"] > 0, best["lang"]).otherwise("und").alias("lang_pred"),
+        F.round(best["score"], 6).alias("lang_score"),
+    )
+
+
+def fingerprint(docs_in: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical document fingerprint: md5 of normalized token stream.
+
+    Normalization = lowercase alphabetic tokens joined by single
+    spaces — robust to case/punctuation/whitespace-only edits. md5 so
+    the DuckDB oracle reproduces it bit-for-bit.
+    """
+    normalized = F.array_join(_word_tokens(text_col), " ")
+    docs = spread(docs_in.select(id_col, text_col))
+    return docs.select(
+        F.col(id_col), F.md5(normalized).alias("fingerprint")
+    )
+
+
+def tf_idf(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """(id, word, tf, df, tfidf) — smoothed ln idf, rounded to 6.
+
+    Two aggregations (term counts per doc; doc frequency per term) and
+    one broadcast-able join with the doc count. At 100 TB the df side
+    is vocabulary-sized (small) and broadcast; the tf side never
+    re-shuffles the corpus.
+    """
+    words = spread(docs.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(_word_tokens(text_col)).alias("word")
+    )
+    tf = words.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df")).filter(F.col("df") >= min_df)
+    n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "word",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * (F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )

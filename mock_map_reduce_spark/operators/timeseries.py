@@ -1,0 +1,154 @@
+"""Time-series operators: tumbling/sliding windows, sessionization,
+as-of joins — batch forms (streaming twins live in streaming/).
+
+The reference is strictly batch with no time semantics (SURVEY §2.2);
+this family is the engine's window/stream extension. All arithmetic
+on timestamps happens in integer microseconds (unix_micros) so Spark
+and DuckDB agree exactly — no float seconds, no boundary-counting
+date_diff semantics.
+
+Scale notes: every operator here is one shuffle on the entity key
+(user_id); windows are rows-frames over that partition. As-of join
+uses the union-merge formulation — O(n log n) within partitions, no
+range cross-product — the standard way to as-of at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def tumbling_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling-window counts/sums: (window_start, window_end, [groups], n, total).
+
+    Epoch-aligned windows via F.window — identical alignment to
+    DuckDB's time_bucket for divisor-of-day widths.
+    """
+    gcols = group_cols or []
+    w = F.window(F.col(ts_col), window)
+    return (
+        events.groupBy(w.alias("w"), *gcols)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            F.date_format("w.end", TS_FMT).alias("window_end"),
+            *gcols,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window counts: each event lands in window/slide windows."""
+    w = F.window(F.col(ts_col), window, slide)
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: (key, session_id, n_events, session_start, duration_s).
+
+    Classic lag + gap-flag + running-sum; one shuffle on the key. The
+    gap compare and duration use integer microseconds end-to-end.
+    """
+    order = [F.col(ts_col), F.col(id_col)]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col(ts_col))
+    prev_us = F.lag(us).over(w)
+    new_session = F.when(
+        prev_us.isNull() | ((us - prev_us) > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    with_sessions = events.withColumn("session_id", F.sum(new_session).over(wrun))
+    return with_sessions.groupBy(key_col, "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min(ts_col), TS_FMT).alias("session_start"),
+        F.expr(
+            f"(unix_micros(max({ts_col})) - unix_micros(min({ts_col}))) div 1000000"
+        ).alias("duration_s"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: dict[str, str],
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """Merge-based as-of join: each left row gets the latest right row
+    with right_ts <= left_ts for the same key.
+
+    Union both sides tagged, one sort per key partition, last-non-null
+    carry-forward — O(n log n), no range cross-product. Right rows at
+    the exact left timestamp ARE visible (<= semantics: right sorts
+    before left on ties via the side tag).
+
+    right_cols maps right column -> output alias.
+    """
+    carried = [f"__r_{alias}" for alias in right_cols.values()]
+    l_part = left.select(
+        F.col(key_col).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.col(left_id).alias("__id"),
+        *[F.lit(None).cast(dict(right.dtypes)[src]).alias(c) for src, c in zip(right_cols, carried)],
+    )
+    r_part = right.select(
+        F.col(key_col).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(right_id).alias("__id"),
+        *[F.col(src).alias(c) for src, c in zip(right_cols, carried)],
+    )
+    merged = l_part.unionAll(r_part)
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", "__side", "__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        "__key",
+        "__ts",
+        "__side",
+        "__id",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        F.col("__id").alias(left_id),
+        F.col("__key").alias(key_col),
+        F.col("__ts").alias(left_ts),
+        *[F.col(f"__r_{alias}").alias(alias) for alias in right_cols.values()],
+    )

@@ -1,0 +1,18 @@
+"""Structured Streaming operators (tumbling/sliding/session windows
+with watermarks). Batch twins live in operators/timeseries.py."""
+
+from mock_map_reduce_spark.streaming.windows import (
+    read_events_stream,
+    run_to_memory,
+    session_stream,
+    sliding_stream,
+    tumbling_stream,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_to_memory",
+    "session_stream",
+    "sliding_stream",
+    "tumbling_stream",
+]

@@ -1,0 +1,112 @@
+"""Structured Streaming operators — the streaming twins of
+operators/timeseries.py (SURVEY §7 M4).
+
+The reference is strictly batch (SURVEY §2.2: no streaming surface);
+these operators extend the engine with watermark-bounded windowed
+aggregation and session windows over an event stream.
+
+State & scale: watermarks bound the state store — an unbounded
+groupBy over event-time would otherwise accumulate state forever at
+100 TB/day ingest. Tumbling/sliding state per key x window expires
+``delay`` after the window closes; session state closes ``gap`` after
+the last event. The parquet file source is used for deterministic
+local tests (one file = one micro-batch replay); swap ``readStream
+.format("kafka")`` in production — the plan below the source is
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# Explicit schema: a streaming source cannot infer. ts arrives as
+# nanosecond longs (spark.sql.legacy.parquet.nanosAsLong, see
+# sources/tables.py) and is truncated to a real timestamp here.
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The file stream source requires a directory basePath; select the
+    # events file out of the shared sf_dir with a glob filter.
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling counts per event_type.
+
+    Late events beyond the watermark are dropped; state for a window
+    is freed once watermark passes window end.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (gap-merged) per user with watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drive a streaming query over all available input synchronously.
+
+    Complete-mode memory sink: deterministic full result for tests.
+    """
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1,0 +1,84 @@
+"""Similarity search tests with planted vector clusters."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import Row
+
+from mock_map_reduce_spark.operators import similarity as sim
+
+DIM = 16
+
+
+def _unit(vec):
+    n = math.sqrt(sum(x * x for x in vec))
+    return [x / n for x in vec]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """3 planted clusters of 4 near-identical vectors + 20 random ones."""
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for _ in range(3):
+        base = [rng.gauss(0, 1) for _ in range(DIM)]
+        for _ in range(4):
+            noisy = [x + rng.gauss(0, 0.05) for x in base]
+            rows.append(Row(vec_id=vid, embedding=_unit(noisy)))
+            vid += 1
+    for _ in range(20):
+        rows.append(Row(vec_id=vid, embedding=_unit([rng.gauss(0, 1) for _ in range(DIM)])))
+        vid += 1
+    return spark.createDataFrame(rows)
+
+
+def test_brute_force_topk_finds_cluster(vectors):
+    queries = vectors.filter("vec_id = 0")
+    top = sim.brute_force_topk(vectors, queries, k=3).collect()
+    assert {r.neighbor_id for r in top} == {1, 2, 3}  # own cluster first
+    assert all(r.cosine > 0.99 for r in top)
+    assert [r.rank for r in top] == [1, 2, 3]
+
+
+def test_brute_force_excludes_self(vectors):
+    queries = vectors.filter("vec_id = 0")
+    ids = [r.neighbor_id for r in sim.brute_force_topk(vectors, queries, k=32).collect()]
+    assert 0 not in ids
+
+
+def test_cosine_pairs_above_planted(vectors):
+    pairs = {(r.id_a, r.id_b) for r in sim.cosine_pairs_above(vectors, 0.95).collect()}
+    expected = {
+        (a, b)
+        for c in range(3)
+        for a in range(c * 4, c * 4 + 4)
+        for b in range(a + 1, c * 4 + 4)
+    }
+    assert pairs == expected  # exactly the planted clusters, nothing else
+
+
+def test_ann_lsh_recall_on_clusters(vectors):
+    queries = vectors.filter("vec_id in (0, 4, 8)")  # one per cluster
+    ann = sim.ann_topk_lsh(vectors, queries, dim=DIM, k=3, nbits=8)
+    got = {(r.query_id, r.neighbor_id) for r in ann.collect()}
+    planted = {
+        (q, n) for q in (0, 4, 8) for n in range(q, q + 4) if n != q
+    }
+    # multiprobe Hamming-1 on near-identical vectors: full recall expected
+    assert planted <= got
+
+
+def test_lsh_bucket_deterministic(spark, vectors):
+    from pyspark.sql import functions as F
+
+    b1 = vectors.select(sim.lsh_bucket(F.col("embedding"), DIM, 8, seed=1).alias("b")).collect()
+    b2 = vectors.select(sim.lsh_bucket(F.col("embedding"), DIM, 8, seed=1).alias("b")).collect()
+    assert [r.b for r in b1] == [r.b for r in b2]
+    # same-cluster vectors land in the same bucket
+    rows = vectors.select("vec_id", sim.lsh_bucket(F.col("embedding"), DIM, 8, seed=1).alias("b")).collect()
+    by_id = {r.vec_id: r.b for r in rows}
+    assert by_id[0] == by_id[1] == by_id[2] == by_id[3]

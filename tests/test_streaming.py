@@ -1,0 +1,73 @@
+"""Structured Streaming tests (SURVEY §5.4: pytest-only — the driver's
+oracle can't run streaming queries; batch twins in catalog/timeseries
+are the oracle-checked forms).
+
+Each test drives the stream over all available input via a memory
+sink, then compares against the batch computation on the same data —
+stream/batch equivalence is the correctness contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mock_map_reduce_spark.operators import timeseries as bt
+from mock_map_reduce_spark.sources import load_table
+from mock_map_reduce_spark.streaming import windows as sw
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, batch_events):
+    stream = sw.tumbling_stream(sw.read_events_stream(spark, sf_dir), "1 hour")
+    sw.run_to_memory(stream, "tumbling_out")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in bt.tumbling_agg(batch_events, "1 hour", group_cols=["event_type"])
+        .withColumn("window_start", F.to_timestamp("window_start"))
+        .collect()
+    }
+    assert len(got) > 0
+    assert got == expected
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, batch_events):
+    stream = sw.sliding_stream(sw.read_events_stream(spark, sf_dir))
+    sw.run_to_memory(stream, "sliding_out")
+    got = {r.window_start: r.n_events for r in spark.sql("SELECT * FROM sliding_out").collect()}
+    expected = {
+        r.window_start: r.n_events
+        for r in bt.sliding_agg(batch_events)
+        .withColumn("window_start", F.to_timestamp("window_start"))
+        .collect()
+    }
+    assert got == expected
+    # each event lands in exactly 2 sliding windows
+    assert sum(got.values()) == 2 * batch_events.count()
+
+
+def test_session_stream_event_conservation(spark, sf_dir, batch_events):
+    stream = sw.session_stream(sw.read_events_stream(spark, sf_dir), gap="30 minutes")
+    sw.run_to_memory(stream, "session_out")
+    rows = spark.sql("SELECT * FROM session_out").collect()
+    assert sum(r.n_events for r in rows) == batch_events.count()
+    # session count per user matches the batch gap-sessionizer
+    stream_sessions = {}
+    for r in rows:
+        stream_sessions[r.user_id] = stream_sessions.get(r.user_id, 0) + 1
+    batch_sessions = {
+        r.user_id: r.n_sessions
+        for r in bt.sessionize(batch_events, 1800)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+        .collect()
+    }
+    assert stream_sessions == batch_sessions

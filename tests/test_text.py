@@ -1,0 +1,70 @@
+"""Text analysis operator tests with hand-computed expectations."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from mock_map_reduce_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat and the dog"),
+            Row(doc_id=2, text="el gato y el perro en la casa"),
+            Row(doc_id=3, text="xyz qrs!! 123"),
+            Row(doc_id=4, text=""),
+        ]
+    )
+
+
+def test_token_stats(docs):
+    got = {r.doc_id: (r.n_ws_tokens, r.n_bpe_pieces, r.n_chars) for r in tx.token_stats(docs).collect()}
+    assert got[1] == (5, 5, 19)
+    # "xyz qrs!! 123" -> ws: 3; bpe: xyz, qrs, !, !, 123 = 5; chars 13
+    assert got[3] == (3, 5, 13)
+    assert got[4] == (0, 0, 0)
+
+
+def test_quality_score_hand_computed(docs):
+    r = {x.doc_id: x for x in tx.quality_score(docs).collect()}
+    # doc 1: tokens [the cat and the dog]: 5 toks, alpha 15, chars 19
+    assert r[1].mean_word_len == 3.0
+    assert r[1].stopword_ratio == round(3 / 5, 6)  # the, and, the
+    assert r[1].alpha_ratio == round(15 / 19, 6)
+    assert r[1].distinct_token_ratio == round(4 / 5, 6)
+    # empty doc: all zeros, no NaNs
+    assert (r[4].mean_word_len, r[4].quality_score) == (0.0, 0.0)
+
+
+def test_language_id(docs):
+    got = {r.doc_id: r.lang_pred for r in tx.language_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "und"  # no stopwords from any list
+    assert got[4] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    a = spark.createDataFrame([Row(doc_id=1, text="Hello, World!")])
+    b = spark.createDataFrame([Row(doc_id=2, text="hello   world")])
+    fa = tx.fingerprint(a).collect()[0].fingerprint
+    fb = tx.fingerprint(b).collect()[0].fingerprint
+    assert fa == fb == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_tfidf_values(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a a b"), Row(doc_id=2, text="a c")]
+    )
+    got = {(r.doc_id, r.word): (r.tf, r.df, r.tfidf) for r in tx.tf_idf(docs).collect()}
+    # n_docs=2; word a: df=2 -> idf = ln(3/3)+1 = 1
+    assert got[(1, "a")] == (2, 2, 2.0)
+    assert got[(2, "a")] == (1, 2, 1.0)
+    # word b: df=1 -> idf = ln(3/2)+1
+    assert got[(1, "b")] == (1, 1, round(math.log(3 / 2) + 1, 6))
