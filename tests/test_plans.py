@@ -1,0 +1,87 @@
+"""Physical-plan shape tests — scale guarantees, not just correctness.
+
+Each assertion pins a property that matters at 1000 executors / 100 TB:
+filters reach the parquet scan, small dims broadcast, top-N never
+global-sorts, aggregation is partial+final, plans stay in codegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mock_map_reduce_spark import registry
+from mock_map_reduce_spark.plans import (
+    count_exchanges,
+    executed_plan,
+    final_plan,
+    has_broadcast_join,
+    has_pushed_filters,
+)
+
+registry.load_all()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(name):
+        return registry.QUERIES[name](spark, sf_dir)
+
+    return run
+
+
+def test_filter_pushdown_reaches_scan(q):
+    assert has_pushed_filters(q("filter_project"))
+
+
+def test_dimension_joins_broadcast(q):
+    plan = executed_plan(q("revenue_by_nation"))
+    assert "BroadcastHashJoin" in plan  # nation must broadcast
+    assert has_broadcast_join(q("broadcast_dim_join"))
+
+
+def test_broadcast_dim_join_single_shuffle(q):
+    # both dims broadcast -> the only exchange is the final groupBy
+    assert count_exchanges(q("broadcast_dim_join")) <= 1
+
+
+def test_top_n_uses_bounded_heap_not_global_sort(q):
+    plan = executed_plan(q("top_words"))
+    assert "TakeOrderedAndProject" in plan  # O2: bounded heap, never a full Sort
+
+
+def test_word_count_partial_aggregation(q):
+    # partial + final HashAggregate pair = map-side combine (A1)
+    plan = executed_plan(q("word_count"))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_word_count_single_shuffle(q):
+    # tokenize's spread() repartition + the groupBy exchange; no more
+    assert count_exchanges(q("word_count")) <= 2
+
+
+def test_whole_stage_codegen_on_flagship(q):
+    # AQE hides codegen stages until the final plan materializes;
+    # "*(n)" prefixes mark WholeStageCodegen spans in the plan string.
+    assert "*(" in final_plan(q("word_count"))
+
+
+def test_pricing_summary_scans_only_needed_columns(q):
+    plan = executed_plan(q("pricing_summary"))
+    scan_line = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_comment" not in scan_line  # column pruning
+    assert "l_quantity" in scan_line
+
+
+def test_semi_join_is_semi(q):
+    assert "LeftSemi" in executed_plan(q("join_semi"))
+
+
+def test_minhash_signatures_map_only(spark, sf_dir):
+    from mock_map_reduce_spark.operators import dedup as dd
+    from mock_map_reduce_spark.sources import load_table
+
+    sig = dd.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    # one exchange total: the spread() repartition; signature math adds none
+    assert count_exchanges(sig) <= 1

@@ -1,0 +1,37 @@
+"""Sink tests: parquet write (S4 analog), partitioned layout, pruning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mock_map_reduce_spark.plans import executed_plan
+from mock_map_reduce_spark.sources import load_table, write_parquet
+
+
+def test_write_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "nation_out")
+    nation = load_table(spark, sf_dir, "nation")
+    write_parquet(nation, out)
+    back = spark.read.parquet(out)
+    assert sorted(r.n_nationkey for r in back.collect()) == sorted(
+        r.n_nationkey for r in nation.collect()
+    )
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, sf_dir, "orders")
+    write_parquet(orders, out, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    # partition pruning: only the o_orderstatus=F directory is scanned
+    plan = executed_plan(back)
+    assert back.count() == orders.filter("o_orderstatus = 'F'").count()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or "o_orderstatus=F" in plan
+
+
+def test_overwrite_mode(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "region_out")
+    region = load_table(spark, sf_dir, "region")
+    write_parquet(region, out)
+    write_parquet(region.limit(2), out)  # overwrite shrinks it
+    assert spark.read.parquet(out).count() == 2
