@@ -17,7 +17,9 @@ from mock_map_reduce_spark.catalog import (  # noqa: F401
     sqlapi,
     multimodal,
     relational,
+    scale,
     semistructured,
+    streaming_queries,
     similarity,
     textops,
     timeseries,

@@ -42,8 +42,12 @@ grams AS (
   FROM toks
 )"""
 
+# Chunked-md5: hash function i = 8-hex-char substring chunk (i % 4) of
+# md5 seeded by (i // 4) — mirrors operators/dedup.minhash_signatures.
+# (md5 hex is 32 chars -> exactly four 8-char chunks per digest.)
 _SIG_COLS = ",\n         ".join(
-    f"min(md5('{i}|' || gram)) AS h{i}" for i in range(NUM_HASHES)
+    f"min(substring(md5('{i // 4}|' || gram), {1 + 8 * (i % 4)}, 8)) AS h{i}"
+    for i in range(NUM_HASHES)
 )
 _SIGS = f"""
 sigs AS (

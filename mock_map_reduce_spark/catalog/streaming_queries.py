@@ -1,0 +1,87 @@
+"""Streaming catalog entries — Structured Streaming runs driven to
+completion through a memory sink, THEN compared against the same
+batch oracle as their batch twins.
+
+This makes the streaming engine itself oracle-checked: the watermarked
+stream over the events parquet must produce exactly the rows DuckDB
+computes for the batch query. (The driver executes queries
+sequentially; each entry uses its own memory-sink name.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mock_map_reduce_spark.operators.timeseries import TS_FMT
+from mock_map_reduce_spark.registry import query
+from mock_map_reduce_spark.streaming import (
+    read_events_stream,
+    run_to_memory,
+    session_stream,
+    tumbling_stream,
+)
+
+_E = "e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events)"
+_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle=f"""
+WITH {_E}
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, t), '{_FMT}') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM e GROUP BY 1, 2
+""",
+)
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling windows, streamed to completion, vs batch oracle."""
+    stream = tumbling_stream(read_events_stream(spark, sf_dir), "1 hour")
+    run_to_memory(stream, "drv_stream_tumbling")
+    return spark.table("drv_stream_tumbling").select(
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
+    "streaming_session_counts",
+    oracle=f"""
+WITH {_E},
+l AS (
+  SELECT user_id, event_id, t,
+         lag(epoch_us(t)) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev_us
+  FROM e
+),
+f AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN prev_us IS NULL OR (epoch_us(t) - prev_us) > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM l
+),
+s AS (
+  SELECT user_id, t,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM f
+)
+SELECT user_id, strftime(min(t), '{_FMT}') AS session_start, COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_id
+""",
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window stream vs the batch gap-sessionizer oracle.
+
+    session_window's gap-merge grouping is semantically identical to
+    the lag+cumsum batch formulation for complete (non-late) input.
+    """
+    stream = session_stream(read_events_stream(spark, sf_dir), gap="30 minutes")
+    run_to_memory(stream, "drv_stream_sessions")
+    return spark.table("drv_stream_sessions").select(
+        "user_id",
+        F.date_format("session_start", TS_FMT).alias("session_start"),
+        "n_events",
+    )

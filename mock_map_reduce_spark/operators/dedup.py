@@ -135,23 +135,57 @@ def minhash_signatures(
     Docs with fewer than n tokens have no shingles and are excluded
     (same as the groupBy-over-exploded-grams formulation).
     """
-    def hash_fn(seed: int):
-        # NB: a `lambda g, i=seed:` would NOT work — PySpark treats a
-        # 2-parameter lambda as (element, array_index) and overwrites
-        # the default with the index column.
-        return lambda g: _gram_hash(seed, g, use_md5)
-
-    sigs = [
-        F.array_min(F.transform(F.col("__grams"), hash_fn(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return (
+    base = (
         _spread(docs.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), _norm_tokens(text_col).alias("__toks"))
         .select(F.col(id_col), _grams_of(F.col("__toks"), n).alias("__grams"))
         .filter(F.size("__grams") > 0)
-        .select(F.col(id_col), *sigs)
     )
+    if use_md5:
+        # Chunked-md5 scheme: one md5 hex digest (32 chars) yields FOUR
+        # 32-bit hash functions (8-hex-char substrings), so k=16
+        # signatures cost num_hashes/4 md5 evaluations per shingle.
+        # Computed as ONE fold over the gram array: per gram, build the
+        # k chunk-hashes (each md5 evaluated once via a lambda
+        # variable), then zip_with(least) into the running minima —
+        # column-per-hash formulations would re-evaluate each md5 once
+        # per chunk column. Still bit-reproducible in DuckDB (same
+        # substring on the same md5 hex).
+        n_digests = (num_hashes + 3) // 4
+
+        def chunk_hashes(g):
+            md5s = F.transform(
+                F.sequence(F.lit(0), F.lit(n_digests - 1)),
+                lambda s: F.md5(F.concat(s.cast("string"), F.lit("|"), g)),
+            )
+            chunks = F.flatten(
+                F.transform(
+                    md5s,
+                    lambda m: F.array(
+                        *[F.substring(m, 1 + 8 * c, 8) for c in range(4)]
+                    ),
+                )
+            )
+            return F.slice(chunks, 1, num_hashes)
+
+        sig_arr = F.aggregate(
+            F.col("__grams"),
+            F.array_repeat(F.lit("g" * 8), num_hashes),  # "g" > any hex char
+            lambda acc, g: F.zip_with(acc, chunk_hashes(g), lambda a, b: F.least(a, b)),
+        )
+        sigs = base.select(F.col(id_col), sig_arr.alias("__sig"))
+        return sigs.select(
+            F.col(id_col),
+            *[F.element_at("__sig", i + 1).alias(f"h{i}") for i in range(num_hashes)],
+        )
+
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("__grams"), (lambda i: lambda g: _gram_hash(i, g, False))(i))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return base.select(F.col(id_col), *sig_cols)
 
 
 def lsh_band_buckets(

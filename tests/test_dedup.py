@@ -101,3 +101,24 @@ def test_connected_components_clusters(spark, docs):
     ids = spark.createDataFrame([Row(doc_id=i) for i in [1, 2, 3, 4, 6, 7]])
     comp = {r.doc_id: r.component for r in dd.connected_components(edges, ids).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 6: 6, 7: 6}
+
+
+def test_lsh_not_degenerate_on_real_corpus(spark, sf_dir):
+    """Guard against bucket degeneration (e.g. empty-string hash chunks
+    bucketing every doc together): candidates on the real corpus must
+    be a sparse subset of all pairs and every signature chunk must be
+    a full-width hex string."""
+    from pyspark.sql import functions as F
+
+    from mock_map_reduce_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    pairs = dd.lsh_candidate_pairs(docs).count()
+    assert pairs < 0.01 * n * (n - 1) / 2  # sparse, not all-pairs
+
+    sig = dd.minhash_signatures(docs)
+    bad = sig.filter(
+        " OR ".join(f"(h{i} IS NULL OR length(h{i}) <> 8)" for i in range(16))
+    ).count()
+    assert bad == 0
