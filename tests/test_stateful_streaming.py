@@ -1,0 +1,43 @@
+"""applyInPandasWithState: custom stateful operator over a stream."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mock_map_reduce_spark.sources import load_table
+from mock_map_reduce_spark.streaming import read_events_stream
+from mock_map_reduce_spark.streaming.stateful import running_totals_per_user
+
+
+def test_running_totals_match_batch(spark, sf_dir):
+    stream = running_totals_per_user(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # single micro-batch -> one snapshot per user == the batch aggregate
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM stateful_out").collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.t)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("t"),
+        )
+        .collect()
+    }
+    assert set(got) == set(batch)
+    mismatches = {u: (got[u], batch[u]) for u in got if got[u][0] != batch[u][0]}
+    assert not mismatches
+    # float accumulation in pandas vs decimal in batch: totals agree to cents
+    assert all(abs(got[u][1] - batch[u][1]) < 0.02 for u in got)
