@@ -177,3 +177,77 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cluster_size") > 1)
         .select("doc_id", "component", "cluster_size")
     )
+
+
+@query(
+    "dedup_fuzzy_survivors",
+    oracle=f"""
+WITH {_TOKS},
+{_GRAMS},
+sizes AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a, id_b
+  FROM shared JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(ns AS DOUBLE) / (sa.ng + sb.ng - ns) >= {JACCARD_THRESHOLD}
+),
+sym AS (SELECT id_a AS s, id_b AS t FROM edges UNION SELECT id_b, id_a FROM edges),
+reach AS (
+  WITH RECURSIVE r(s, t) AS (
+    SELECT s, t FROM sym
+    UNION
+    SELECT r.s, e.t FROM r JOIN sym e ON r.t = e.s
+  ) SELECT * FROM r
+),
+comp AS (
+  SELECT doc_id, least(doc_id, coalesce(min(t), doc_id)) AS component
+  FROM documents LEFT JOIN reach ON doc_id = s
+  GROUP BY doc_id
+)
+SELECT min(doc_id) AS keep_id, count(*) AS cluster_size
+FROM comp GROUP BY component
+""",
+)
+def q_dedup_fuzzy_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fuzzy-dedup pipeline as ONE oracle-checked query:
+
+    LSH candidates -> exact-Jaccard verify (>= 0.5) -> connected
+    components -> one surviving (min-id) doc per duplicate cluster.
+    The DuckDB twin re-derives the duplicate clusters with a recursive
+    transitive-closure CTE — the iterative label propagation and the
+    SQL fixpoint must agree exactly.
+
+    100 TB shape: candidates come from LSH (never all-pairs); the
+    Jaccard verify only scores candidate pairs; components iterate on
+    the (tiny) duplicate-edge list, not the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dd.lsh_candidate_pairs(docs, NUM_HASHES, BANDS, NGRAM, use_md5=True)
+    grams = dd.shingles(docs, NGRAM)
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("ng"))
+    a = grams.select(F.col("doc_id").alias("id_a"), "gram")
+    b = grams.select(F.col("doc_id").alias("id_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .join(cand, ["id_a", "id_b"], "left_semi")  # only score LSH candidates
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("ns"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("ng").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("ng").alias("nb"))
+    edges = (
+        shared.join(sa, "id_a").join(sb, "id_b")
+        .filter(
+            F.col("ns").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("ns")).cast("double")
+            >= JACCARD_THRESHOLD
+        )
+        .select("id_a", "id_b")
+    )
+    comp = dd.connected_components(edges, docs.select("doc_id"))
+    return comp.groupBy("component").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("cluster_size")
+    ).select("keep_id", "cluster_size")
