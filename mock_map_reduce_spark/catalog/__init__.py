@@ -23,4 +23,5 @@ from mock_map_reduce_spark.catalog import (  # noqa: F401
     similarity,
     textops,
     timeseries,
+    windows2,
 )

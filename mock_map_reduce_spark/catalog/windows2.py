@@ -1,0 +1,190 @@
+"""Second window-function batch + remaining relational odds and ends:
+ranking variants, range frames, bag set ops, histograms, correlated
+subqueries, outer explode, string functions round 2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from mock_map_reduce_spark.registry import query
+from mock_map_reduce_spark.sources import load_table, register_views
+
+
+@query(
+    "window_ranking_variants",
+    oracle="""
+SELECT o_orderkey,
+       ntile(4)       OVER w AS quartile,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       round(percent_rank() OVER w, 6) AS prank,
+       round(cume_dist()    OVER w, 6) AS cdist,
+       nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def q_window_ranking_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.nth_value("o_orderkey", 2).over(wrows).alias("second_key"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+                      RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS orders_last_90d
+FROM orders
+""",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over epoch days: trailing-90-day order count per customer.
+
+    A rows-frame counts N physical rows; the range frame counts rows
+    within a VALUE window — the correct semantics for trailing-period
+    metrics with irregular event spacing.
+    """
+    df = load_table(spark, sf_dir, "orders").withColumn(
+        "order_day", F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_day")
+        .rangeBetween(-90, Window.currentRow)
+    )
+    return df.select(
+        "o_orderkey", "o_custkey", F.count("*").over(w).alias("orders_last_90d")
+    )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics intersect (multiplicity = min of the two sides)."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.intersectAll(f)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics except (multiplicity = left minus right, floored at 0)."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.exceptAll(f)
+
+
+@query(
+    "histogram_totalprice",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+FROM orders GROUP BY 1
+""",
+)
+def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram — the scan-once profile of a 100 TB column."""
+    df = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return df.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+_CORR = """
+SELECT c_custkey,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F') AS n_finished
+FROM customer
+"""
+
+
+@query("correlated_scalar_subquery", oracle=_CORR)
+def q_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into a
+    left outer aggregate join (no per-row re-scan)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CORR)
+
+
+@query(
+    "explode_outer_null_preserved",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN NULL
+              ELSE string_split_regex(lang, '\s+') END AS tags
+  FROM documents
+)
+SELECT doc_id, CASE WHEN tags IS NULL THEN NULL ELSE unnest(tags) END AS tag FROM t
+UNION ALL
+SELECT doc_id, NULL AS tag FROM t WHERE tags IS NULL
+""",
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with NULL arrays survive with a NULL element
+    (plain explode would drop them)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tags = F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(
+        F.split(F.col("lang"), r"\s+")
+    )
+    return docs.select("doc_id", F.explode_outer(tags).alias("tag"))
+
+
+@query(
+    "string_funcs2",
+    oracle="""
+SELECT p_partkey,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       replace(p_type, 'ECONOMY', 'ECO') AS type_short,
+       upper(p_brand) AS brand_upper,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       reverse(p_name) AS name_rev,
+       CAST(strpos(p_name, ' ') AS INT) AS space_at
+FROM part
+""",
+)
+def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.replace(F.col("p_type"), F.lit("ECONOMY"), F.lit("ECO")).alias("type_short"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_name").alias("name_rev"),
+        F.instr(F.col("p_name"), " ").alias("space_at"),
+    )
