@@ -1,0 +1,79 @@
+"""Time-series operator edge cases (as-of join boundaries, session gaps)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from mock_map_reduce_spark.operators import timeseries as ts
+
+
+def test_asof_join_boundary_semantics(spark):
+    """A right row AT the left timestamp is visible (<=); later is not;
+    keys with no prior right row get NULL."""
+    left = spark.createDataFrame(
+        [Row(user_id=1, ts=100, pid=10), Row(user_id=1, ts=50, pid=11), Row(user_id=2, ts=10, pid=12)],
+        "user_id long, ts long, pid long",
+    )
+    right = spark.createDataFrame(
+        [Row(user_id=1, ts=100, cid=1), Row(user_id=1, ts=60, cid=2), Row(user_id=1, ts=101, cid=3)],
+        "user_id long, ts long, cid long",
+    )
+    out = ts.asof_join(
+        left, right, "user_id", "ts", "ts", {"cid": "last_cid"}, "pid", "cid"
+    ).collect()
+    assert {r.pid: r.last_cid for r in out} == {10: 1, 11: None, 12: None}
+
+
+def test_asof_join_ties_take_latest_right(spark):
+    """Multiple right rows at the same timestamp: the largest right id
+    wins (deterministic order: ts, side, id)."""
+    left = spark.createDataFrame([Row(user_id=1, ts=100, pid=1)], "user_id long, ts long, pid long")
+    right = spark.createDataFrame(
+        [Row(user_id=1, ts=100, cid=7), Row(user_id=1, ts=100, cid=9)],
+        "user_id long, ts long, cid long",
+    )
+    out = ts.asof_join(
+        left, right, "user_id", "ts", "ts", {"cid": "last_cid"}, "pid", "cid"
+    ).collect()
+    assert out[0].last_cid == 9
+
+
+@pytest.fixture()
+def gap_events(spark):
+    us = 1_000_000
+    rows = [
+        # user 1: events at 0s, 10s, gap, 4000s -> 2 sessions
+        Row(event_id=1, user_id=1, ts=0),
+        Row(event_id=2, user_id=1, ts=10 * us),
+        Row(event_id=3, user_id=1, ts=4000 * us),
+        # user 2: single event -> 1 session of duration 0
+        Row(event_id=4, user_id=2, ts=5 * us),
+    ]
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(rows, "event_id long, user_id long, ts long").withColumn(
+        "ts", F.timestamp_micros("ts")
+    )
+
+
+def test_sessionize_gap_splits(spark, gap_events):
+    out = ts.sessionize(gap_events, gap_seconds=1800)
+    got = {(r.user_id, r.session_id): (r.n_events, r.duration_s) for r in out.collect()}
+    assert got == {(1, 1): (2, 10), (1, 2): (1, 0), (2, 1): (1, 0)}
+
+
+def test_sessionize_exact_gap_boundary(spark):
+    """Gap strictly greater than threshold splits; exactly equal does not."""
+    from pyspark.sql import functions as F
+
+    us = 1_000_000
+    df = spark.createDataFrame(
+        [Row(event_id=1, user_id=1, ts=0), Row(event_id=2, user_id=1, ts=1800 * us),
+         Row(event_id=3, user_id=1, ts=(1800 + 1800) * us + 1)],
+        "event_id long, user_id long, ts long",
+    ).withColumn("ts", F.timestamp_micros("ts"))
+    out = ts.sessionize(df, gap_seconds=1800).collect()
+    by_session = {r.session_id: r.n_events for r in out}
+    # 0 -> 1800s: gap == 1800s exactly -> same session; +1800.000001s -> new
+    assert by_session == {1: 2, 2: 1}
