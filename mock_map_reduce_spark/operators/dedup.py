@@ -122,63 +122,55 @@ def minhash_signatures(
     id_col: str = "doc_id",
     use_md5: bool = True,
 ) -> DataFrame:
-    """MinHash signature per doc: (id, h0..h{k-1}) — MAP-ONLY.
+    """MinHash signature per doc: (id, h0..h{k-1}).
 
-    Each signature column is array_min over the doc's own shingle
-    array (higher-order transform), so signatures involve NO shuffle
-    at all — a pure map stage over the corpus scan. The k
-    "permutations" are seeded hash functions; min over the shingle
-    set approximates the Jaccard-preserving permutation min.
-    md5 keeps the catalog entries oracle-checkable; xxhash64 is the
-    production fast path (use_md5=False).
+    The k "permutations" are seeded hash functions; min over the
+    shingle set approximates the Jaccard-preserving permutation min.
+    md5 keeps the catalog entries oracle-checkable (codegen'd
+    explode/groupBy formulation — see inline note); xxhash64 is the
+    alternate fast hash computed as a map-only fold (use_md5=False).
 
     Docs with fewer than n tokens have no shingles and are excluded
-    (same as the groupBy-over-exploded-grams formulation).
+    in both formulations.
     """
+    if use_md5:
+        # Chunked-md5 scheme: one md5 hex digest (32 chars) yields FOUR
+        # 32-bit hash functions (8-hex-char substrings), so k=16
+        # signatures cost num_hashes/4 md5 evaluations per shingle.
+        # Formulated as explode -> md5 projection -> substring chunks ->
+        # groupBy(min x k): every stage is whole-stage-codegen (a
+        # higher-order-function fold over the gram array is ~6x slower
+        # — HOF lambdas evaluate interpreted). The groupBy is NOT a
+        # real per-gram shuffle: a doc's exploded grams stay in one
+        # partition, so the partial min collapses to exactly one row
+        # per doc before the exchange. Bit-reproducible in DuckDB
+        # (same substring on the same md5 hex).
+        n_digests = (num_hashes + 3) // 4
+        g = shingles(docs, n, text_col, id_col)
+        md5s = g.select(
+            F.col(id_col),
+            *[
+                F.md5(F.concat(F.lit(f"{s}|"), F.col("gram"))).alias(f"__m{s}")
+                for s in range(n_digests)
+            ],
+        )
+        chunks = md5s.select(
+            F.col(id_col),
+            *[
+                F.substring(F.col(f"__m{i // 4}"), 1 + 8 * (i % 4), 8).alias(f"h{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        return chunks.groupBy(id_col).agg(
+            *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+        )
+
     base = (
         _spread(docs.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), _norm_tokens(text_col).alias("__toks"))
         .select(F.col(id_col), _grams_of(F.col("__toks"), n).alias("__grams"))
         .filter(F.size("__grams") > 0)
     )
-    if use_md5:
-        # Chunked-md5 scheme: one md5 hex digest (32 chars) yields FOUR
-        # 32-bit hash functions (8-hex-char substrings), so k=16
-        # signatures cost num_hashes/4 md5 evaluations per shingle.
-        # Computed as ONE fold over the gram array: per gram, build the
-        # k chunk-hashes (each md5 evaluated once via a lambda
-        # variable), then zip_with(least) into the running minima —
-        # column-per-hash formulations would re-evaluate each md5 once
-        # per chunk column. Still bit-reproducible in DuckDB (same
-        # substring on the same md5 hex).
-        n_digests = (num_hashes + 3) // 4
-
-        def chunk_hashes(g):
-            md5s = F.transform(
-                F.sequence(F.lit(0), F.lit(n_digests - 1)),
-                lambda s: F.md5(F.concat(s.cast("string"), F.lit("|"), g)),
-            )
-            chunks = F.flatten(
-                F.transform(
-                    md5s,
-                    lambda m: F.array(
-                        *[F.substring(m, 1 + 8 * c, 8) for c in range(4)]
-                    ),
-                )
-            )
-            return F.slice(chunks, 1, num_hashes)
-
-        sig_arr = F.aggregate(
-            F.col("__grams"),
-            F.array_repeat(F.lit("g" * 8), num_hashes),  # "g" > any hex char
-            lambda acc, g: F.zip_with(acc, chunk_hashes(g), lambda a, b: F.least(a, b)),
-        )
-        sigs = base.select(F.col(id_col), sig_arr.alias("__sig"))
-        return sigs.select(
-            F.col(id_col),
-            *[F.element_at("__sig", i + 1).alias(f"h{i}") for i in range(num_hashes)],
-        )
-
     sig_cols = [
         F.array_min(
             F.transform(F.col("__grams"), (lambda i: lambda g: _gram_hash(i, g, False))(i))

@@ -78,10 +78,17 @@ def test_semi_join_is_semi(q):
     assert "LeftSemi" in executed_plan(q("join_semi"))
 
 
-def test_minhash_signatures_map_only(spark, sf_dir):
+def test_minhash_signatures_bounded_shuffle(spark, sf_dir):
     from mock_map_reduce_spark.operators import dedup as dd
     from mock_map_reduce_spark.sources import load_table
 
-    sig = dd.minhash_signatures(load_table(spark, sf_dir, "documents"))
-    # one exchange total: the spread() repartition; signature math adds none
-    assert count_exchanges(sig) <= 1
+    docs = load_table(spark, sf_dir, "documents")
+    # md5 path: spread repartition + the min-agg exchange; the partial
+    # min collapses grams to one row per doc before the shuffle, so
+    # the exchange carries O(docs), never O(grams)
+    sig = dd.minhash_signatures(docs)
+    assert count_exchanges(sig) <= 2
+    plan = executed_plan(sig)
+    assert "partial_min" in plan  # map-side combine proves the collapse
+    # xxhash64 fold path stays map-only (spread exchange only)
+    assert count_exchanges(dd.minhash_signatures(docs, use_md5=False)) <= 1
