@@ -397,11 +397,18 @@ def connected_components(
     Driver only checks a scalar convergence flag per round — labels
     never leave the cluster.
     """
+    # Materialize edges and seed labels ONCE: without the checkpoint,
+    # every round's convergence check would re-execute the full edge
+    # lineage (e.g. the whole LSH pipeline) from scratch — k rounds of
+    # O(k) recomputes. localCheckpoint truncates lineage so each round
+    # is exactly one join + agg over materialized inputs.
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    )
-    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("component"))
+    ).localCheckpoint()
+    labels = ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("component")
+    ).localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -416,7 +423,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
             )
-        )
+        ).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -425,8 +432,6 @@ def connected_components(
             .count()
         )
         labels = new_labels
-        # localCheckpoint would truncate lineage here on a real cluster;
-        # duplicate clusters converge in 2-3 rounds so lineage stays short.
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), "component")
