@@ -15,6 +15,7 @@ from mock_map_reduce_spark.catalog import (  # noqa: F401
     dedup,
     flagship,
     sqlapi,
+    stats,
     multimodal,
     relational,
     scale,

@@ -71,3 +71,39 @@ def test_session_stream_event_conservation(spark, sf_dir, batch_events):
         .collect()
     }
     assert stream_sessions == batch_sessions
+
+
+def test_stream_dedup_across_batches(spark, tmp_path):
+    """Duplicate event_ids spanning micro-batches are emitted once."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    us = 1_000_000_000  # ns
+    pd.DataFrame(
+        {"event_id": [1, 2], "ts": [1 * us, 2 * us], "user_id": [1, 1],
+         "event_type": ["a", "a"], "value": [1.0, 2.0], "props": ["{}", "{}"]}
+    ).to_parquet(tmp_path / "b1.parquet")
+    pd.DataFrame(
+        {"event_id": [2, 3], "ts": [2 * us, 3 * us], "user_id": [1, 1],
+         "event_type": ["a", "a"], "value": [2.0, 3.0], "props": ["{}", "{}"]}
+    ).to_parquet(tmp_path / "b2.parquet")
+    raw = (
+        spark.readStream.schema(sw.EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        sw.dedup_stream(raw)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_stream_out").collect())
+    assert ids == [1, 2, 3]  # event 2 appeared in both batches, emitted once
