@@ -106,3 +106,36 @@ def byte_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return spread(media.select(id_col, "payload")).mapInPandas(extract, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_mean double"
+
+
+def frame_sample(media: DataFrame, frame_size: int = 256, stride: int = 2, id_col: str = "doc_id") -> DataFrame:
+    """Frame sampling: one payload row -> N frame rows (UDTF shape).
+
+    The video-pipeline primitive: chunk the payload into fixed-size
+    "frames", keep every ``stride``-th, emit per-frame features. Real
+    codecs plug into the same mapInPandas seam (decode_image); the
+    chunking stand-in keeps batch shapes and the 1-to-N contract real.
+
+    100 TB note: output fan-out is rows x frames — select/filter frame
+    features BEFORE any join or shuffle; never carry the payload past
+    this operator.
+    """
+    import numpy as np
+
+    def sample(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_mean": []}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n_frames = max((len(arr) + frame_size - 1) // frame_size, 0)
+                for fi in range(0, n_frames, stride):
+                    chunk = arr[fi * frame_size : (fi + 1) * frame_size]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(fi)
+                    out["frame_mean"].append(float(np.round(chunk.mean(), 6)) if len(chunk) else 0.0)
+            yield pd.DataFrame(out)
+
+    return spread(media.select(id_col, "payload")).mapInPandas(sample, FRAME_SCHEMA)

@@ -40,3 +40,21 @@ def test_byte_features_hand_computed(media):
 def test_decode_image_stub_raises():
     with pytest.raises(NotImplementedError, match="image library"):
         mm.decode_image(b"\x89PNG\r\n")
+
+
+def test_frame_sample_one_to_many(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a" * 1000), Row(doc_id=2, text="xy")]
+    )
+    media = mm.attach_binary_payload(docs)
+    frames = mm.frame_sample(media, frame_size=256, stride=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 1000 bytes -> 4 frames, stride 2 -> indices 0, 2
+    assert sorted(r.frame_idx for r in by_doc[1]) == [0, 2]
+    assert by_doc[1][0].frame_mean == 97.0  # all "a" bytes
+    # doc 2: 2 bytes -> 1 frame
+    assert [r.frame_idx for r in by_doc[2]] == [0]
