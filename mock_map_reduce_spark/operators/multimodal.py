@@ -139,3 +139,29 @@ def frame_sample(media: DataFrame, frame_size: int = 256, stride: int = 2, id_co
             yield pd.DataFrame(out)
 
     return spread(media.select(id_col, "payload")).mapInPandas(sample, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, payload binary, n_bytes long"
+
+
+def resize_payload(media: DataFrame, factor: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """Resize/downsample: keep every ``factor``-th payload byte.
+
+    Deterministic stand-in for media resize (image downscale / audio
+    resample) — the real transform plugs into the same batch contract.
+    Output payload is 1/factor the size; metadata is recomputed, and
+    the ORIGINAL payload is dropped from the plan immediately (at
+    100 TB the resize exists precisely to shrink what flows onward).
+    """
+    import numpy as np
+
+    def shrink(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)[::factor]
+                b = arr.tobytes()
+                rows.append((int(doc_id), b, len(b)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "n_bytes"])
+
+    return spread(media.select(id_col, "payload")).mapInPandas(shrink, RESIZE_SCHEMA)

@@ -58,3 +58,14 @@ def test_frame_sample_one_to_many(spark):
     assert by_doc[1][0].frame_mean == 97.0  # all "a" bytes
     # doc 2: 2 bytes -> 1 frame
     assert [r.frame_idx for r in by_doc[2]] == [0]
+
+
+def test_resize_payload(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="abcdefgh"), Row(doc_id=2, text="")])
+    media = mm.attach_binary_payload(docs)
+    rows = {r.doc_id: r for r in mm.resize_payload(media, factor=4).collect()}
+    assert bytes(rows[1].payload) == b"ae"  # every 4th byte
+    assert rows[1].n_bytes == 2
+    assert (bytes(rows[2].payload), rows[2].n_bytes) == (b"", 0)
