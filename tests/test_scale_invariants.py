@@ -1,0 +1,58 @@
+"""Scale invariants: results must not depend on physical strategy.
+
+At 100 TB, Catalyst picks different join strategies (broadcast vs
+sort-merge), AQE re-plans mid-query, and hot keys get salted — none of
+which may change answers. These tests pin that invariance locally.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from mock_map_reduce_spark import registry
+from mock_map_reduce_spark.operators.skew import salted_agg_count
+from mock_map_reduce_spark.plans import executed_plan
+
+registry.load_all()
+
+
+def test_join_results_invariant_under_strategy_change(spark, sf_dir):
+    """revenue_by_nation with broadcast disabled (sort-merge everywhere)
+    must produce byte-identical rows — the plan a 100 TB cluster would
+    pick cannot change the answer."""
+    q = registry.QUERIES["revenue_by_nation"]
+    with_bcast = {tuple(r) for r in q(spark, sf_dir).collect()}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = q(spark, sf_dir)
+        plan = executed_plan(df)
+        no_bcast = {tuple(r) for r in df.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # nation is still broadcast by explicit hint (BROADCAST_SAFE), but
+    # the stats-based orders/customer broadcasts must be gone
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert with_bcast == no_bcast
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """90% of rows share one hot key — the combiner-resistant shape."""
+    hot = spark.range(0, 9000).select(F.lit("hot").alias("k"))
+    cold = spark.range(0, 1000).select(F.concat(F.lit("c"), F.col("id")).alias("k"))
+    return hot.unionAll(cold).repartition(16)
+
+
+def test_salted_agg_correct_under_skew(skewed):
+    got = {r.k: r["count"] for r in salted_agg_count(skewed, "k", num_salts=8).collect()}
+    assert got["hot"] == 9000
+    assert len(got) == 1001
+    assert all(v == 1 for k, v in got.items() if k != "hot")
+
+
+def test_salted_agg_matches_plain_groupby(skewed):
+    plain = {r.k: r["count"] for r in skewed.groupBy("k").count().collect()}
+    salted = {r.k: r["count"] for r in salted_agg_count(skewed, "k").collect()}
+    assert plain == salted
