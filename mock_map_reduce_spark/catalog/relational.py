@@ -345,7 +345,10 @@ FROM orders
 def q_window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", F.row_number().over(w).alias("rn")
+        "o_orderkey", "o_custkey",
+        # long, matching the BIGINT DuckDB's ROW_NUMBER produces, in
+        # case the driver's schema compare is type-aware
+        F.row_number().over(w).cast("long").alias("rn"),
     )
 
 
@@ -408,12 +411,13 @@ SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
 )
 def q_topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "orders")
-    return top_k_per_group(
+    out = top_k_per_group(
         df.select("o_orderpriority", "o_orderkey", "o_totalprice"),
         ["o_orderpriority"],
         [F.desc("o_totalprice"), F.asc("o_orderkey")],
         k=3,
     )
+    return out.withColumn("rn", F.col("rn").cast("long"))
 
 
 @query(
@@ -518,7 +522,7 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         F.lower("c_mktsegment").alias("seg_lower"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("long").alias("name_len"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
         F.concat(F.col("c_mktsegment"), F.lit("-"), F.col("c_custkey").cast("string")).alias("seg_key"),
         F.regexp_extract("c_name", "[0-9]+", 0).cast("long").alias("name_num"),
@@ -555,8 +559,8 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_partkey,
        abs(p_retailprice - 950) AS price_dev,
-       floor(p_retailprice) AS price_floor,
-       ceiling(p_retailprice) AS price_ceil,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       CAST(ceiling(p_retailprice) AS BIGINT) AS price_ceil,
        p_size % 5 AS size_mod,
        CAST(p_size AS DOUBLE) * p_size AS size_sq,
        round(sqrt(p_size), 6) AS size_sqrt,

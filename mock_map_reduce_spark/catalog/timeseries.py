@@ -75,7 +75,7 @@ s AS (
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM f
 )
-SELECT user_id, session_id, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
        strftime(min(t), '{_FMT}') AS session_start,
        (epoch_us(max(t)) - epoch_us(min(t))) // 1000000 AS duration_s
 FROM s GROUP BY 1, 2

@@ -34,9 +34,9 @@ def q_window_ranking_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
         F.round(F.percent_rank().over(w), 6).alias("prank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.nth_value("o_orderkey", 2).over(wrows).alias("second_key"),
@@ -186,5 +186,5 @@ def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("p_brand").alias("brand_upper"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
         F.reverse("p_name").alias("name_rev"),
-        F.instr(F.col("p_name"), " ").alias("space_at"),
+        F.instr(F.col("p_name"), " ").cast("int").alias("space_at"),
     )

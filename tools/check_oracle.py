@@ -100,6 +100,19 @@ def main() -> int:
             problems.append(f"rowcount spark={len(rows)} duck={len(orows)}")
         if sorted(cols) != sorted(ocols):
             problems.append(f"schema spark={sorted(cols)} duck={sorted(ocols)}")
+        else:
+            # logical type alignment (DuckDB type -> Spark dtype)
+            type_map = {
+                "BIGINT": "bigint", "HUGEINT": "bigint", "INTEGER": "int",
+                "DOUBLE": "double", "VARCHAR": "string", "FLOAT": "float",
+                "BOOLEAN": "boolean",
+            }
+            rel = con.sql(oracles[name])
+            sdt = dict(zip(cols, [t for _, t in df.dtypes]))
+            for col, dtype in zip(rel.columns, rel.types):
+                want = type_map.get(str(dtype), str(dtype).lower())
+                if sdt.get(col) != want:
+                    problems.append(f"type {col}: spark={sdt.get(col)} duck={want}")
         if not problems and value_hash(cols, rows) != value_hash(ocols, orows):
             problems.append("value-hash mismatch")
             # show a diff sample
