@@ -259,6 +259,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets: (id_a, id_b, jaccard).
 
@@ -268,10 +269,24 @@ def ngram_jaccard_pairs(
 
     100 TB note: a shingle shared by D docs emits D^2 join rows; for
     web-scale corpora run this AFTER lsh_candidate_pairs (semi-join
-    the shingle table on candidates) or cap document frequency of
-    shingles — the standard "stop-shingle" guard.
+    the shingle table on candidates) or set ``max_doc_freq`` — the
+    "stop-shingle" guard: shingles appearing in more than that many
+    docs are excluded from BOTH the intersection and the set sizes
+    (jaccard is then over the non-stop shingle sets), bounding the
+    join fan-out of any one shingle to max_doc_freq^2.
     """
     g = shingles(docs, n, text_col, id_col)
+    if max_doc_freq is not None:
+        # anti-join against the STOP list (grams above the cap) — that
+        # list is tiny by construction, so it broadcasts even when the
+        # full vocabulary would not
+        stop = (
+            g.groupBy("gram")
+            .agg(F.count("*").alias("gdf"))
+            .filter(F.col("gdf") > max_doc_freq)
+            .select("gram")
+        )
+        g = g.join(F.broadcast(stop), "gram", "left_anti")
     sizes = g.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     a = g.select(F.col(id_col).alias("id_a"), "gram")
     b = g.select(F.col(id_col).alias("id_b"), "gram")

@@ -122,3 +122,21 @@ def test_lsh_not_degenerate_on_real_corpus(spark, sf_dir):
         " OR ".join(f"(h{i} IS NULL OR length(h{i}) <> 8)" for i in range(16))
     ).count()
     assert bad == 0
+
+
+def test_ngram_jaccard_stop_shingle_guard(spark):
+    """max_doc_freq drops ubiquitous shingles from both intersection and
+    sizes; pairs equal only via stop shingles disappear."""
+    boiler = "copyright notice all rights reserved by the site"
+    rows = [
+        Row(doc_id=1, text=f"alpha beta gamma delta {boiler}"),
+        Row(doc_id=2, text=f"epsilon zeta eta theta {boiler}"),
+        Row(doc_id=3, text=f"alpha beta gamma delta unique tail words here"),
+    ]
+    docs = spark.createDataFrame(rows)
+    # without guard: 1-2 pair exists purely through shared boilerplate
+    plain = {(r.id_a, r.id_b) for r in dd.ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    assert (1, 2) in plain
+    # with guard (boilerplate grams appear in 2 docs -> capped at 1):
+    guarded = {(r.id_a, r.id_b): r.jaccard for r in dd.ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=1).collect()}
+    assert (1, 2) not in guarded  # boilerplate-only overlap gone
