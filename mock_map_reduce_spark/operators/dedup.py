@@ -216,20 +216,52 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     use_md5: bool = True,
     max_bucket_size: int | None = None,
+    via: str = "group",
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH bucket.
 
-    Pairs are generated by a per-bucket self-join — never a cross
-    join. ``max_bucket_size`` drops degenerate buckets before the
-    join (skew guard for boilerplate-heavy corpora).
+    Pairs are generated per-bucket — never a cross join.
+    ``max_bucket_size`` drops degenerate buckets before any pair is
+    emitted (skew guard for boilerplate-heavy corpora).
+
+    Two physical strategies (identical results):
+      * ``via="group"`` (default): groupBy(band, bucket) ->
+        sort_array(collect_list(id)) -> emit each element's ordered
+        suffix as partners (posexplode + slice-explode). One shuffle
+        for the grouping, the skew guard is a size() filter, and the
+        per-bucket memory is O(bucket) — never the O(bucket^2) pair
+        array, since the second explode streams off a bounded slice.
+      * ``via="join"``: classic bucket self-join over one shared
+        exchange (ReusedExchange). Same shuffle count but adds the
+        join + (when capped) a separate bucket-size agg + join; kept
+        for the plan-shape tests and as the fallback if a single
+        bucket's id list could not fit in one task (not reachable
+        with the cap on).
     """
     sig = minhash_signatures(docs, num_hashes, n, text_col, id_col, use_md5)
-    # Materialize one exchange on the join keys: both sides of the
-    # self-join below share it (ReusedExchange), so the signature
-    # computation (k hashes over every shingle) runs exactly once.
-    buckets = lsh_band_buckets(sig, num_hashes, bands, id_col).repartition(
-        "band_idx", "bucket"
-    )
+    buckets = lsh_band_buckets(sig, num_hashes, bands, id_col)
+    if via == "group":
+        grouped = buckets.groupBy("band_idx", "bucket").agg(
+            F.sort_array(F.collect_list(id_col)).alias("ids")
+        )
+        grouped = grouped.filter(F.size("ids") > 1)
+        if max_bucket_size is not None:
+            grouped = grouped.filter(F.size("ids") <= max_bucket_size)
+        return (
+            grouped.select("ids", F.posexplode("ids").alias("__i", "id_a"))
+            # partners = the sorted suffix after position __i (0-based),
+            # so id_a < id_b holds by construction and each unordered
+            # pair is emitted once per colliding bucket
+            .select(
+                "id_a",
+                F.explode(F.expr("slice(ids, __i + 2, size(ids))")).alias("id_b"),
+            )
+            .distinct()
+        )
+    # via="join": materialize one exchange on the join keys so both
+    # sides of the self-join share it (ReusedExchange) and the
+    # signature computation runs exactly once.
+    buckets = buckets.repartition("band_idx", "bucket")
     if max_bucket_size is not None:
         sizes = buckets.groupBy("band_idx", "bucket").agg(F.count("*").alias("bsz"))
         buckets = buckets.join(

@@ -72,6 +72,16 @@ def test_lsh_bucket_size_cap(docs):
     assert pairs == []
 
 
+def test_lsh_group_and_join_strategies_agree(docs):
+    # the collect_list pair generator and the bucket self-join are two
+    # physical plans for one logical result — must match exactly,
+    # capped and uncapped
+    for cap in (None, 2):
+        g = {(r.id_a, r.id_b) for r in dd.lsh_candidate_pairs(docs, bands=8, max_bucket_size=cap, via="group").collect()}
+        j = {(r.id_a, r.id_b) for r in dd.lsh_candidate_pairs(docs, bands=8, max_bucket_size=cap, via="join").collect()}
+        assert g == j
+
+
 def test_ngram_jaccard_values(docs):
     got = {(r.id_a, r.id_b): r.jaccard for r in dd.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
     assert got[(1, 2)] == 1.0  # identical shingle sets
