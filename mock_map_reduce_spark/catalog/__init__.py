@@ -12,6 +12,7 @@ Split by surface area; each module corresponds to a SURVEY.md §2 slice:
 
 from mock_map_reduce_spark.catalog import (  # noqa: F401
     advanced,
+    curation,
     dedup,
     flagship,
     sqlapi,

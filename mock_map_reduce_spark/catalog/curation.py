@@ -1,0 +1,154 @@
+"""Curation catalog — deterministic sampling, train/val/test splits,
+sequence packing, stable shuffle, per-group top-k selection.
+
+The LLM-training-pipeline surface a 100 TB curation job runs daily;
+absent from the reference (its one query is word count — SURVEY §0).
+Every entry is oracle-checked: the determinism primitive is an md5
+prefix of the stringified row key, bit-identical in Spark and DuckDB,
+so samples/splits/shuffles hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mock_map_reduce_spark.operators import curation as cu, text as tx
+from mock_map_reduce_spark.registry import query
+from mock_map_reduce_spark.sources import load_table
+
+_KEY = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+
+
+@query(
+    "curation_hash_sample",
+    oracle=f"""
+SELECT doc_id, n_chars FROM documents
+WHERE {_KEY} < '1a'
+""",
+)
+def q_curation_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample (md5-prefix threshold): map-only, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.hash_sample(docs, keep_lt="1a").select("doc_id", "n_chars")
+
+
+@query(
+    "curation_split_counts",
+    oracle=f"""
+WITH s AS (
+  SELECT n_chars,
+         CASE WHEN {_KEY} < 'cc' THEN 'train'
+              WHEN {_KEY} < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, count(*) AS n_docs,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+FROM s GROUP BY split
+""",
+)
+def q_curation_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable ~80/10/10 train/val/test assignment, summarized per split.
+
+    The exact-integer sum / count division keeps avg_chars
+    order-independent (bit-identical across engines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        cu.split_assign(docs)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count("*"), 6
+            ).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "curation_pack_sequences",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_toks
+  FROM documents
+)
+SELECT doc_id, shard, CAST(n_toks AS BIGINT) AS n_toks,
+       CAST((sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_toks) // 1024 AS BIGINT) AS bin_id
+FROM t
+""",
+)
+def q_curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy 1024-token sequence packing within 16 hash shards.
+
+    Window partitions by shard — no global sort; scale the shard
+    count by taking more md5 chars.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.pack_sequences(docs, budget=1024)
+
+
+@query(
+    "curation_shuffled_head",
+    oracle="""
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents
+ORDER BY shuffle_key, doc_id
+LIMIT 100
+""",
+)
+def q_curation_shuffled_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 100 docs of the stable pseudo-random order (TakeOrdered)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.shuffled_head(docs, n=100)
+
+
+@query(
+    "curation_topk_per_language",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS w
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang,
+         len(w) AS n_toks,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(text) AS n_chars,
+         len(list_distinct(w)) AS n_distinct
+  FROM toks
+),
+q AS (
+  SELECT doc_id, lang,
+         round(least(CASE WHEN n_toks > 0 THEN CAST(n_alpha AS DOUBLE) / n_toks ELSE 0.0 END / 8.0, 1.0) * 0.25
+               + least(CASE WHEN n_toks > 0 THEN CAST(s.n_stop AS DOUBLE) / n_toks ELSE 0.0 END * 4.0, 1.0) * 0.25
+               + CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END * 0.25
+               + CASE WHEN n_toks > 0 THEN CAST(n_distinct AS DOUBLE) / n_toks ELSE 0.0 END * 0.25,
+               6) AS quality_score
+  FROM feat
+  JOIN (SELECT doc_id, len(list_filter(w, t -> list_contains({SW}, t))) AS n_stop
+        FROM toks) s USING (doc_id)
+)
+SELECT doc_id, lang, quality_score, rn FROM (
+  SELECT doc_id, lang, quality_score,
+         row_number() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS rn
+  FROM q
+) WHERE rn <= 5
+""".replace("{SW}", "[" + ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"]) + "]"),
+)
+def q_curation_topk_per_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the 5 best-quality docs per language — quality scorer
+    composed with a per-group bounded window selection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang").join(
+        tx.quality_score(docs).select("doc_id", "quality_score"), "doc_id"
+    )
+    return cu.topk_per_group(scored, "lang", "quality_score", k=5).select(
+        "doc_id", "lang", "quality_score", "rn"
+    )

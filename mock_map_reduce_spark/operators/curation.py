@@ -1,0 +1,143 @@
+"""Training-data curation operators — sampling, splits, packing, ordering.
+
+The reference (Mock-Map-Reduce) has no curation surface — its one
+query is word count (SURVEY §0); this family is part of the engine's
+LLM-pipeline extension (SURVEY §7 M3). Everything here is built on
+the one primitive a 100 TB curation pipeline actually needs for
+reproducibility: a *content-deterministic* pseudo-random number per
+row (an md5 prefix of the row key), so samples, splits, and shuffles
+are stable across runs, engines, and cluster sizes — no RNG state,
+no seed-per-partition coupling, no reliance on row order.
+
+Scale design:
+  * hash_sample / split_assign are map-only (a filter / projection on
+    the scan) — zero shuffle, fully pushdown-friendly.
+  * pack_sequences windows WITHIN a hash shard, never globally: the
+    window partition key is the shard, so state per task is one
+    shard's running counter, and shard count scales with the data.
+  * shuffled_head is a bounded top-k (TakeOrderedAndProject) over the
+    hash order — the scalable way to take "N random-but-stable docs";
+    a global ORDER BY + LIMIT would sort everything on one reducer's
+    worth of merge, TakeOrdered prunes per partition first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def row_key_hash(id_col: str = "doc_id") -> Column:
+    """Deterministic per-row pseudo-random tag: md5 of the stringified id.
+
+    Hex string compares give uniform thresholds: P(prefix2 < 'XY') =
+    int('XY', 16) / 256.
+    """
+    return F.md5(F.col(id_col).cast("string"))
+
+
+def hash_sample(
+    docs: DataFrame, keep_lt: str = "1a", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic ~(int(keep_lt,16)/256) sample — stable across runs.
+
+    Map-only: the sample predicate rides the scan, so at 100 TB a 10%
+    sample reads full data once but shuffles nothing and keeps
+    downstream stages at 10% volume.
+    """
+    return docs.filter(F.substring(row_key_hash(id_col), 1, 2) < keep_lt)
+
+
+def split_assign(
+    docs: DataFrame,
+    train_lt: str = "cc",
+    val_lt: str = "e6",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Adds a stable train/val/test ``split`` column (~80/10/10).
+
+    Content-keyed split assignment is the reproducibility contract of
+    a training pipeline: re-runs, backfills, and engine swaps keep
+    every doc in the same split.
+    """
+    b2 = F.substring(row_key_hash(id_col), 1, 2)
+    return docs.withColumn(
+        "split",
+        F.when(b2 < train_lt, "train").when(b2 < val_lt, "val").otherwise("test"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 1024,
+    shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy sequence packing: (id, shard, n_toks, bin_id).
+
+    Docs are sharded by a hash nibble, ordered by id within the
+    shard, and packed first-fit-in-order into ``budget``-token bins:
+    bin_id = (tokens before this doc in the shard) div budget — a doc
+    that overflows a bin starts it anyway (bins overflow rather than
+    split documents), matching the common "greedy pack then truncate"
+    recipe.
+
+    The window partitions by shard, so no global sort and per-task
+    state is one running counter; shard count (here a nibble = 16)
+    scales up by taking more hash chars.
+    """
+    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != ""))
+    sharded = docs.select(
+        F.col(id_col),
+        F.substring(row_key_hash(id_col), 1, 1).alias("shard"),
+        toks.alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum("n_toks").over(w)
+    return sharded.select(
+        F.col(id_col),
+        "shard",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        ((running - F.col("n_toks")) / budget).cast("long").alias("bin_id"),
+    )
+
+
+def shuffled_head(
+    docs: DataFrame, n: int = 100, id_col: str = "doc_id"
+) -> DataFrame:
+    """First ``n`` rows of the deterministic pseudo-random order.
+
+    orderBy(hash) + limit compiles to TakeOrderedAndProject — each
+    partition keeps its local top-n, the driver merges n*partitions
+    rows — the bounded way to draw a stable "random" head at scale.
+    """
+    return (
+        docs.select(F.col(id_col), row_key_hash(id_col).alias("shuffle_key"))
+        .orderBy("shuffle_key", id_col)
+        .limit(n)
+    )
+
+
+def topk_per_group(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str,
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k rows per group by score (desc), deterministic id tie-break.
+
+    The curation use: keep the k best-quality docs per language /
+    domain / source. Window partitions by the group key, so each
+    group ranks independently — the shuffle carries (group, score,
+    id), never document bodies.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.desc(score_col), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )

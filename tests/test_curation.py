@@ -1,0 +1,80 @@
+"""Curation operators: deterministic sampling, splits, packing, top-k."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from mock_map_reduce_spark.operators import curation as cu
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, " ".join(["tok"] * n), lang)
+        for i, (n, lang) in enumerate(
+            [(3, "en"), (7, "en"), (2, "de"), (5, "de"), (1, "en"), (4, "de")]
+        )
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _md5(i: int) -> str:
+    return hashlib.md5(str(i).encode()).hexdigest()
+
+
+def test_hash_sample_matches_python_md5(docs):
+    kept = {r.doc_id for r in cu.hash_sample(docs, keep_lt="80").collect()}
+    expect = {i for i in range(6) if _md5(i)[:2] < "80"}
+    assert kept == expect
+    # stability: same predicate, same rows, run twice
+    assert kept == {r.doc_id for r in cu.hash_sample(docs, keep_lt="80").collect()}
+
+
+def test_split_assign_total_and_disjoint(docs):
+    out = cu.split_assign(docs).select("doc_id", "split").collect()
+    assert len(out) == 6  # every doc assigned exactly once
+    by_doc = {r.doc_id: r.split for r in out}
+    for i, s in by_doc.items():
+        b2 = _md5(i)[:2]
+        assert s == ("train" if b2 < "cc" else "val" if b2 < "e6" else "test")
+
+
+def test_pack_sequences_greedy_bins(spark):
+    # one shard (same hash nibble not guaranteed -> force via single doc ids
+    # sharing a nibble is fiddly; instead verify per-shard invariants)
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 600)) for i in range(8)], "doc_id long, text string"
+    )
+    out = cu.pack_sequences(docs, budget=1024).collect()
+    assert all(r.n_toks == 600 for r in out)
+    # within each shard, bin_id = tokens-before div 1024 in doc_id order
+    from collections import defaultdict
+
+    shards = defaultdict(list)
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        shards[r.shard].append(r)
+    for rows in shards.values():
+        before = 0
+        for r in rows:
+            assert r.bin_id == before // 1024
+            before += r.n_toks
+
+
+def test_shuffled_head_is_hash_order_prefix(docs):
+    out = cu.shuffled_head(docs, n=3).collect()
+    expect = sorted(range(6), key=lambda i: (_md5(i), i))[:3]
+    assert [r.doc_id for r in out] == expect
+
+
+def test_topk_per_group_bounded_and_ordered(docs):
+    scored = docs.select("doc_id", "lang", F.col("doc_id").cast("double").alias("s"))
+    out = cu.topk_per_group(scored, "lang", "s", k=2).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.lang, []).append((r.rn, r.doc_id))
+    # top-2 by score desc with id tie-break, per group
+    assert sorted(per["en"]) == [(1, 4), (2, 1)]
+    assert sorted(per["de"]) == [(1, 5), (2, 3)]
