@@ -74,3 +74,44 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return sim.ann_topk_lsh(emb, queries, dim=EMB_DIM, k=TOP_K, nbits=8)
+
+
+N_CELLS = 8  # IVF coarse quantizer: centroids = embeddings with vec_id < 8
+
+
+@query(
+    "similarity_ann_ivf",
+    oracle=f"""
+WITH {_V},
+cent AS (SELECT vec_id AS centroid_id, e AS cent FROM v WHERE vec_id < {N_CELLS}),
+assign AS (
+  SELECT vec_id, e, centroid_id AS cell FROM (
+    SELECT v.vec_id, v.e, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos("v.e", "cent.cent")} DESC, cent.centroid_id) AS rn
+    FROM v CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, e AS qe, cell FROM assign WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT query_id, a.vec_id AS neighbor_id, {_cos("qe", "a.e")} AS cos
+  FROM assign a JOIN q USING (cell)
+  WHERE a.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""",
+)
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, fully oracle-checked: deterministic seed-vector
+    centroids (vec_id < 8), argmax-cosine cell assignment, nprobe=1
+    in-cell exact search. Per-query scan cost drops to corpus/n_cells;
+    pair with cell-partitioned storage for pruning at rest.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CELLS)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return sim.ann_topk_ivf(emb, queries, centroids, k=TOP_K)

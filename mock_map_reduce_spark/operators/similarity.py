@@ -213,3 +213,82 @@ def ann_topk_lsh(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse-quantizer cells + in-cell exact search
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """(id, cell, vec) — each vector assigned to its nearest centroid
+    by cosine (argmax; ties break to the smallest centroid id).
+
+    Centroids are few (they are broadcast), so assignment is a
+    map-side crossJoin + one per-vector window — the shuffle carries
+    (id, cell, vec) once. At 100 TB this is the IVF build pass; pair
+    it with cell-partitioned storage (tests/test_ivf_storage.py) so
+    probes become partition-pruned scans.
+    """
+    c = centroids.select(
+        F.col(id_col).alias(centroid_id_col), as_double_array(vec_col).alias("cent")
+    )
+    v = spread(vectors.select(F.col(id_col), as_double_array(vec_col).alias("vec")))
+    scored = v.crossJoin(F.broadcast(c)).select(
+        id_col,
+        "vec",
+        centroid_id_col,
+        cosine(F.col("vec"), F.col("cent")).alias("__cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc(centroid_id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col(centroid_id_col).alias("cell"), "vec")
+    )
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN (nprobe=1): exact cosine top-k within the query's cell.
+
+    Both sides go through the same coarse quantizer; the probe join is
+    on the cell id, so per-query work is corpus/n_cells instead of
+    corpus. Deterministic end-to-end (fold arithmetic + id
+    tie-breaks), hence oracle-checkable — unlike random-hyperplane
+    LSH, whose hyperplanes have no SQL twin.
+    """
+    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "cell", F.col("vec").alias("cvec")
+    )
+    q = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias(query_id_col), "cell", F.col("vec").alias("qvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

@@ -82,3 +82,21 @@ def test_lsh_bucket_deterministic(spark, vectors):
     rows = vectors.select("vec_id", sim.lsh_bucket(F.col("embedding"), DIM, 8, seed=1).alias("b")).collect()
     by_id = {r.vec_id: r.b for r in rows}
     assert by_id[0] == by_id[1] == by_id[2] == by_id[3]
+
+
+def test_ann_ivf_cell_recall_on_clusters(vectors):
+    # centroids = the three cluster seeds + one outlier; cluster members
+    # quantize to their own seed's cell, so nprobe=1 has full recall
+    centroids = vectors.filter("vec_id in (0, 4, 8, 12)")
+    queries = vectors.filter("vec_id in (0, 4, 8)")
+    ivf = sim.ann_topk_ivf(vectors, queries, centroids, k=3)
+    got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    planted = {(q, n) for q in (0, 4, 8) for n in range(q, q + 4) if n != q}
+    assert planted <= got
+
+
+def test_ivf_assign_one_cell_per_vector(vectors):
+    centroids = vectors.filter("vec_id < 4")
+    assigned = sim.ivf_assign(vectors, centroids).collect()
+    assert len(assigned) == vectors.count()  # argmax picks exactly one cell
+    assert {r.cell for r in assigned} <= {0, 1, 2, 3}
