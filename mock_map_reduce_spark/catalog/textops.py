@@ -115,6 +115,27 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_rolling_hash",
+    oracle=f"""
+WITH {_TOKS}
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(w, t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT))),
+         (acc, v) -> (acc * 1000003 + v) % 2147483647) AS rhash
+FROM toks
+""",
+)
+def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp polynomial rolling hash over the normalized token
+    stream — order-sensitive and incrementally extendable, vs the flat
+    md5 fingerprint. list_prepend seeds the fold's zero (DuckDB
+    list_reduce has no initial-value arg).
+    """
+    return tx.rolling_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "text_tfidf",
     oracle="""
 WITH words AS (

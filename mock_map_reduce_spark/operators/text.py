@@ -134,6 +134,58 @@ def fingerprint(docs_in: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def rolling_fingerprint(
+    docs_in: DataFrame,
+    base: int = 1000003,
+    mod: int = 2147483647,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the token stream.
+
+    h = fold(tokens, 0, (acc, t) -> (acc * base + v(t)) mod m) with
+    v(t) = first 32 bits of md5(t) — Rabin-Karp over tokens, so unlike
+    the flat md5 ``fingerprint`` it extends incrementally (append a
+    token = one multiply-add on the previous hash, the streaming/
+    chunked-document use). Everything is a JVM-side fold; ``mod`` is
+    2^31-1 so acc*base + v stays far below 2^63 (DuckDB BIGINT raises
+    on overflow; Java would wrap silently — the mod keeps both exact).
+    """
+    docs = spread(docs_in.select(id_col, text_col))
+    # Token hashing must run as a flat codegen projection, NOT inside
+    # the fold: CollapseProject re-inlines a single-use projected
+    # array into the aggregate operand, and HOF lambdas re-evaluate
+    # the inlined operand per element — O(tokens^2) md5 evaluations
+    # (measured ~50x slower). posexplode keeps token order; the
+    # order-sensitive fold then runs over plain longs re-collected per
+    # doc (the same partial-collapse shape as minhash: a doc's tokens
+    # stay in one partition, so collect_list sees one partial row
+    # group pre-shuffle).
+    toked = docs.select(
+        F.col(id_col), F.posexplode_outer(_word_tokens(text_col)).alias("__p", "__t")
+    )
+    hashed = toked.select(
+        F.col(id_col),
+        "__p",
+        F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10).cast("long").alias("__v"),
+    )
+    return hashed.groupBy(id_col).agg(
+        F.aggregate(
+            # posexplode_outer emits one null-pos row for token-less
+            # docs; filter drops it so their fold is over [] -> 0
+            F.filter(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__p", "__v"))),
+                    lambda s: s["__v"],
+                ),
+                lambda v: v.isNotNull(),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: (acc * base + v) % mod,
+        ).alias("rhash")
+    )
+
+
 def tf_idf(
     docs: DataFrame,
     text_col: str = "text",

@@ -58,6 +58,31 @@ def test_fingerprint_normalization(spark):
     assert fa == fb == hashlib.md5(b"hello world").hexdigest()
 
 
+def test_rolling_hash_matches_python_model(spark):
+    def model(text):
+        h = 0
+        for t in [w for w in "".join(c if c.isalpha() else " " for c in text.lower()).split() if w]:
+            v = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            h = (h * 1000003 + v) % 2147483647
+        return h
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox"),
+            Row(doc_id=2, text="fox brown quick the"),  # same bag, other order
+            Row(doc_id=3, text="the quick brown fox jumps"),
+            Row(doc_id=4, text="123 !!!"),  # token-less -> fold over [] = 0
+        ]
+    )
+    got = {r.doc_id: r.rhash for r in tx.rolling_fingerprint(docs).collect()}
+    assert got == {1: model("the quick brown fox"), 2: model("fox brown quick the"),
+                   3: model("the quick brown fox jumps"), 4: 0}
+    assert got[1] != got[2]  # order-sensitive, unlike the flat fingerprint
+    # incremental property: appending one token = one multiply-add
+    v5 = int(hashlib.md5(b"jumps").hexdigest()[:8], 16)
+    assert got[3] == (got[1] * 1000003 + v5) % 2147483647
+
+
 def test_tfidf_values(spark):
     docs = spark.createDataFrame(
         [Row(doc_id=1, text="a a b"), Row(doc_id=2, text="a c")]
