@@ -115,3 +115,48 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < N_CELLS)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return sim.ann_topk_ivf(emb, queries, centroids, k=TOP_K)
+
+
+# --- embedding near-dup via hyperplane LSH (fully oracle-checked) ----------
+# The hyperplanes are deterministic driver-side literals (seeded LCG +
+# Box-Muller), so the SAME constants are inlined into the DuckDB SQL:
+# sign-bit agreement and the exact-cosine verify are fold arithmetic,
+# bit-identical in both engines.
+
+NDUP_BITS = 4
+NDUP_THRESHOLD = 0.35
+_PLANES = sim._hyperplanes(EMB_DIM, NDUP_BITS, seed=42)
+
+
+def _plane_lit(row: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in row) + "]"
+
+
+_BUCKET = " + ".join(
+    f"(CASE WHEN {_DOT.format(a='e', b=_plane_lit(p))} >= 0 THEN {1 << i} ELSE 0 END)"
+    for i, p in enumerate(_PLANES)
+)
+
+
+@query(
+    "dedup_embedding_lsh",
+    oracle=f"""
+WITH {_V},
+bk AS (SELECT vec_id, e, {_BUCKET} AS bucket FROM v)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cos("a.e", "b.e")}, 6) AS cosine
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cos("a.e", "b.e")} >= {NDUP_THRESHOLD}
+""",
+)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup mining at scale: hyperplane-LSH buckets
+    generate candidates (corpus/2^bits per bucket), exact cosine
+    verifies — O(sum bucket^2) instead of the O(n^2) of
+    similarity_pairs_above, same bucket→pairs→verify shape as the
+    MinHash-LSH text path.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup_lsh(
+        emb, NDUP_THRESHOLD, dim=EMB_DIM, nbits=NDUP_BITS, seed=42
+    )

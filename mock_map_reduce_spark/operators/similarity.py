@@ -292,3 +292,54 @@ def ann_topk_ivf(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    nbits: int = 8,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: (id_a, id_b, cosine >= threshold).
+
+    The scale path for what ``cosine_pairs_above`` does exactly:
+    candidates arise only inside shared hyperplane-LSH buckets
+    (corpus/2^nbits per bucket in expectation) and exact cosine then
+    verifies each candidate — the same bucket→pairs→verify shape as
+    MinHash-LSH text dedup, so comparisons drop from O(n^2) to
+    O(sum bucket^2). Recall covers pairs whose sign bits agree;
+    near-identical vectors (the dedup regime) almost always do — use
+    fewer bits or multiprobe for looser thresholds.
+    """
+    tagged = spread(emb.select(F.col(id_col), F.col(vec_col))).select(
+        F.col(id_col),
+        as_double_array(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), dim, nbits, seed).alias("bucket"),
+    )
+    grouped = tagged.groupBy("bucket").agg(
+        F.sort_array(F.collect_list(F.struct(id_col, "vec"))).alias("members")
+    )
+    grouped = grouped.filter(F.size("members") > 1)
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("members") <= max_bucket_size)
+    pairs = (
+        grouped.select("members", F.posexplode("members").alias("__i", "a"))
+        .select(
+            F.col("a").getField(id_col).alias("id_a"),
+            F.col("a").getField("vec").alias("va"),
+            F.explode(F.expr("slice(members, __i + 2, size(members))")).alias("b"),
+        )
+        .select(
+            "id_a",
+            F.col("b").getField(id_col).alias("id_b"),
+            cosine(F.col("va"), F.col("b").getField("vec")).alias("cosine"),
+        )
+        # a pair can collide in multiple... no: one bucket per vector
+        # at nprobe=1, so pairs are already unique
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
