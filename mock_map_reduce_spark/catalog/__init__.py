@@ -3,6 +3,7 @@
 Split by surface area; each module corresponds to a SURVEY.md §2 slice:
     flagship    — the reference's own query (word count / top-N)
     relational  — joins, aggregates, windows, set ops, scalar functions
+    curation    — deterministic sampling, splits, packing, stable shuffle
     dedup       — exact + fuzzy deduplication over documents
     similarity  — vector similarity search over embeddings
     text        — text analysis (lang-id, quality, tokens, fingerprints)
