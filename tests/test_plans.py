@@ -92,3 +92,18 @@ def test_minhash_signatures_bounded_shuffle(spark, sf_dir):
     assert "partial_min" in plan  # map-side combine proves the collapse
     # xxhash64 fold path stays map-only (spread exchange only)
     assert count_exchanges(dd.minhash_signatures(docs, use_md5=False)) <= 1
+
+
+def test_lsh_group_pair_generation_plan(spark, sf_dir):
+    from mock_map_reduce_spark.operators import dedup as dd
+    from mock_map_reduce_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.lsh_candidate_pairs(docs)
+    # grouped formulation: spread + sig agg + bucket collect + distinct,
+    # and NO join operator anywhere — pairs come from the per-bucket
+    # sorted-suffix explode
+    assert count_exchanges(pairs) <= 4
+    plan = executed_plan(pairs)
+    assert "Join" not in plan
+    assert "collect_list" in plan
