@@ -44,10 +44,27 @@ TABLES = (
 BROADCAST_SAFE = frozenset({"region", "nation", "supplier", "part"})
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make ANY session (including a vanilla driver-built one) able to
+    read the testdata and produce deterministic timestamps.
+
+    * ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS); Spark
+      rejects that type outright unless
+      ``spark.sql.legacy.parquet.nanosAsLong`` is set. The conf is
+      runtime-settable, so we set it here — right before every read —
+      rather than only at session-build time in ``session.get_spark``.
+    * Pin the session time zone to UTC so timestamp formatting/
+      extraction does not depend on the host JVM's zone.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table as a DataFrame (columnar parquet scan)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the file; with

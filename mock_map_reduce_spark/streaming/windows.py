@@ -29,6 +29,12 @@ EVENTS_SCHEMA = (
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import ensure_session_confs
+
+    # Even with an explicit schema, the parquet stream source rejects
+    # TIMESTAMP(NANOS) columns on a vanilla session; set the runtime
+    # confs here so a driver-built session works too.
+    ensure_session_confs(spark)
     # The file stream source requires a directory basePath; select the
     # events file out of the shared sf_dir with a glob filter.
     raw = (
