@@ -125,15 +125,20 @@ def q_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.lsh_candidate_pairs(docs, NUM_HASHES, BANDS, NGRAM, use_md5=True)
 
 
+MAX_DOC_FREQ = 64  # stop-shingle cap: bounds any shingle's join fan-out to 64^2
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
 WITH {_TOKS},
 {_GRAMS},
-sizes AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
+stop AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > {MAX_DOC_FREQ}),
+kept AS (SELECT doc_id, gram FROM grams ANTI JOIN stop USING (gram)),
+sizes AS (SELECT doc_id, count(*) AS ng FROM kept GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
-  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, CAST(ns AS DOUBLE) / (sa.ng + sb.ng - ns) AS jaccard
@@ -144,21 +149,86 @@ WHERE CAST(ns AS DOUBLE) / (sa.ng + sb.ng - ns) >= {JACCARD_THRESHOLD}
 """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard >= 0.5 — finds the corpus's planted near-dups."""
+    """Exact n-gram Jaccard >= 0.5 — finds the corpus's planted near-dups.
+
+    The exposed form is skew-bounded by default: shingles in more than
+    MAX_DOC_FREQ docs are stop-listed out of both the intersection and
+    the set sizes (the oracle applies the same filter), so no single
+    viral shingle can fan the inverted-index join out past 64² rows —
+    the module's own 100 TB note, now on by default.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(docs, NGRAM, JACCARD_THRESHOLD)
+    return dd.ngram_jaccard_pairs(
+        docs, NGRAM, JACCARD_THRESHOLD, max_doc_freq=MAX_DOC_FREQ
+    )
 
 
-@query("dedup_simhash")  # xxhash64 has no DuckDB twin -> rows-only; pytest pins it
+# --- SimHash oracle fragments ----------------------------------------------
+# md5-nibble bit pattern (operators/dedup.simhash use_md5=True): bit b of
+# a token's 64-bit hash = bit (b%4) of hex nibble (b//4) of md5(tok).
+# Bit 63's power of two is written as the two's-complement MIN_BIGINT
+# literal — DuckDB raises on `1::BIGINT << 63` where Spark's shiftleft
+# wraps; the SUM of distinct powers (one possibly negative) stays in
+# int64 range in both engines.
+
+_TOK_OCC = """
+tokocc AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+  FROM documents
+)"""
+
+_SIMHASH = """
+votes AS (
+  SELECT doc_id, bits.bit,
+         CASE WHEN ((strpos('0123456789abcdef', substring(md5(tok), CAST(bits.bit // 4 + 1 AS INT), 1)) - 1)
+                    >> (bits.bit % 4)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM tokocc CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) bits
+),
+tallies AS (SELECT doc_id, bit, SUM(vote) AS tally FROM votes GROUP BY doc_id, bit),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN tally > 0 THEN
+                    CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+                         ELSE (1::BIGINT << CAST(bit AS INT)) END
+                  ELSE 0 END) AS BIGINT) AS simhash
+  FROM tallies GROUP BY doc_id
+)"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"WITH {_TOK_OCC},\n{_SIMHASH}\nSELECT doc_id, simhash FROM sh",
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash digests, oracle-checked end-to-end via the
+    md5-nibble hash (the xxhash64 fast path stays the operator
+    default; pytest pins its planted-dup behavior)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dd.simhash(docs)
+    return dd.simhash(docs, use_md5=True)
 
 
-@query("dedup_simhash_candidates")  # rows-only (same reason)
+@query(
+    "dedup_simhash_candidates",
+    oracle=f"""
+WITH {_TOK_OCC},
+{_SIMHASH},
+blocks AS (
+  SELECT doc_id, bands.band,
+         (simhash >> CAST(bands.band * 16 AS INT)) & 65535 AS bucket
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {BANDS})) AS band) bands
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM blocks a JOIN blocks b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+""",
+)
 def q_dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-LSH candidates over 16-bit SimHash blocks — shift-mask
+    block extraction is engine-agnostic (low 16 bits of a right shift
+    are identical under arithmetic or logical semantics)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dd.simhash_candidate_pairs(docs, BANDS)
+    return dd.simhash_candidate_pairs(docs, BANDS, use_md5=True)
 
 
 @query("dedup_clusters")  # iterative label propagation -> not single-statement SQL

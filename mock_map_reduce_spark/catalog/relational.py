@@ -127,18 +127,46 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct")  # no oracle: HLL sketches differ per engine; pytest bounds it
+@query(
+    "approx_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       true AS within_tolerance
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — the 100 TB answer to COUNT(DISTINCT).
 
     Exact distinct on a high-cardinality key is a full shuffle of the
     key universe; the sketch is fixed-size per group and merges
     associatively map-side.
+
+    Oracle strategy: the HLL register estimate is engine-specific, so
+    the raw sketch value can't hash-match DuckDB. Instead the query
+    emits the exact count plus ``within_tolerance`` = |approx - exact|
+    <= 5 * rsd * exact, computed Spark-side from both aggregates; the
+    oracle asserts the same exact counts and a literal ``true`` — a
+    hash-checkable accuracy bound on the sketch (5σ: deterministic
+    per dataset, never flaky in practice at rsd=0.02).
     """
+    rsd = 0.02
     return (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 5 * rsd * F.col("exact_parts")
+            ).alias("within_tolerance"),
+        )
     )
 
 

@@ -17,7 +17,6 @@ from mock_map_reduce_spark.sources import load_table
 
 TOP_K = 10
 N_QUERIES = 5  # query set = vec_id < 5
-PAIR_THRESHOLD = 0.4  # corpus max pairwise cosine is ~0.51; 0.95+ would be vacuous
 EMB_DIM = 64
 
 _V = "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
@@ -53,19 +52,15 @@ def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(emb, queries, k=TOP_K)
 
 
-@query(
-    "similarity_pairs_above",
-    oracle=f"""
-WITH {_V}
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_cos("a.e", "b.e")}, 6) AS cosine
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE {_cos("a.e", "b.e")} >= {PAIR_THRESHOLD}
-""",
-)
-def q_similarity_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup mining: all pairs with cosine >= 0.4."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return sim.cosine_pairs_above(emb, PAIR_THRESHOLD)
+# NOTE: the exact all-pairs form (operators/similarity.cosine_pairs_above)
+# is deliberately NOT a catalog entry: its physical plan is a
+# BroadcastNestedLoopJoin over corpus×corpus — O(n²) compute that a
+# 100 TB user must never reach by calling a named query. It remains the
+# ground-truth verification helper for the LSH paths
+# (tests/test_similarity.py pins recall against it on planted clusters);
+# the exposed near-dup pair miner is ``dedup_embedding_lsh`` below
+# (bucketed candidates + exact-cosine verify, oracle-checked).
+# tests/test_plans.py::test_no_catalog_query_is_quadratic pins this.
 
 
 @query("similarity_ann_lsh")  # approximate by construction -> rows-only; pytest pins recall

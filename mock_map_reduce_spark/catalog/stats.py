@@ -66,12 +66,28 @@ def q_agg_correlation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUANTILES = [0.25, 0.5, 0.75, 0.99]
+
+
 @query("approx_quantiles")  # t-digest sketches differ per engine -> rows-only
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile — the mergeable-sketch quantile for 100 TB
     groups (exact percentile sorts the group; see agg_percentiles for
-    the exact baseline)."""
+    the exact baseline).
+
+    The quantile array is posexploded into scalar
+    (l_returnflag, quantile, value) rows — harness canonicalizers
+    hash cells, and scalar rows keep every cell hashable.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10000).alias("price_quartiles")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", _QUANTILES, 10000).alias("qs")
+    )
+    qlit = F.array(*[F.lit(q) for q in _QUANTILES])
+    return agg.select(
+        "l_returnflag", F.posexplode("qs").alias("pos", "value")
+    ).select(
+        "l_returnflag",
+        F.element_at(qlit, F.col("pos") + 1).alias("quantile"),
+        "value",
     )

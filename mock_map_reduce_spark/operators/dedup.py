@@ -353,27 +353,51 @@ def simhash(
     bits: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    use_md5: bool = False,
 ) -> DataFrame:
     """SimHash digest per doc: (id, simhash long).
 
-    Token-level 64-bit hashes vote per bit (+1 if set, -1 if not);
-    the digest takes the sign of each bit's tally. Whole pipeline is
-    JVM-side: explode tokens -> xxhash64 -> per-bit ±1 array
-    (transform over bit positions) -> elementwise sum (explode +
-    groupBy) -> sign -> bits folded back into one long.
+    Token-level ``bits``-bit hashes vote per bit (+1 if set, -1 if
+    not); the digest takes the sign of each bit's tally. Whole
+    pipeline is JVM-side: explode tokens -> hash -> per-bit ±1 array
+    -> elementwise sum (explode + groupBy) -> sign -> bits folded
+    back into one long.
+
+    use_md5=True derives the token's bit pattern from the first
+    bits/4 hex chars of md5 (4 bits per nibble) instead of xxhash64 —
+    same trick as minhash_signatures — making the digest
+    bit-reproducible in DuckDB so the catalog entry is
+    oracle-checked. xxhash64 (default) is the fast single-fold path.
     """
     toks = _spread(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(_norm_tokens(text_col)).alias("tok")
     )
-    h = F.xxhash64("tok")
-    # Per-token ±1 vote per bit; bit positions are Python literals so
-    # shiftright gets the int it requires.
-    bit_votes = F.array(
-        *[
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            for b in range(bits)
+    if use_md5:
+        # nibble i = value of hex char i of md5(tok); bit b lives at
+        # nibble b//4, position b%4. conv() is codegen'd — no UDF.
+        hexd = F.md5(F.col("tok"))
+        nibs = [
+            F.conv(F.substring(hexd, i + 1, 1), 16, 10).cast("int")
+            for i in range(bits // 4)
         ]
-    )
+        bit_votes = F.array(
+            *[
+                F.when(
+                    F.shiftright(nibs[b // 4], b % 4).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+                for b in range(bits)
+            ]
+        )
+    else:
+        h = F.xxhash64("tok")
+        # Per-token ±1 vote per bit; bit positions are Python literals
+        # so shiftright gets the int it requires.
+        bit_votes = F.array(
+            *[
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for b in range(bits)
+            ]
+        )
     votes = toks.select(
         F.col(id_col), F.posexplode(bit_votes).alias("bit", "vote")
     )
@@ -394,6 +418,7 @@ def simhash_candidate_pairs(
     bits: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    use_md5: bool = False,
 ) -> DataFrame:
     """Pairs whose simhash matches on >= 1 of ``bands`` bit-blocks.
 
@@ -403,7 +428,7 @@ def simhash_candidate_pairs(
     """
     block_bits = bits // bands
     mask = (1 << block_bits) - 1
-    sh = simhash(docs, bits, text_col, id_col)
+    sh = simhash(docs, bits, text_col, id_col, use_md5=use_md5)
     # One pass over the (shuffle-produced) simhash column — a unionAll
     # would recompute the whole simhash aggregation per band.
     block_arr = F.array(

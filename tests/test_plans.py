@@ -107,3 +107,34 @@ def test_lsh_group_pair_generation_plan(spark, sf_dir):
     plan = executed_plan(pairs)
     assert "Join" not in plan
     assert "collect_list" in plan
+
+
+# Catalog entries whose plans contain a BroadcastNestedLoopJoin whose
+# BROADCAST side is a bounded small set — never the corpus:
+#   similarity_topk_bruteforce: 5-vector query set × corpus (exact baseline)
+#   similarity_ann_ivf:         8 centroid vectors × corpus (cell assign)
+#   text_tfidf:                 vocabulary-sized df table broadcast back
+#   range_join_banded:          5-row literal bands dimension
+_BOUNDED_BNLJ = {
+    "similarity_topk_bruteforce",
+    "similarity_ann_ivf",
+    "text_tfidf",
+    "range_join_banded",
+}
+
+
+def test_no_catalog_query_is_quadratic(spark, sf_dir):
+    """No named query may plan a corpus×corpus nested loop.
+
+    The exact all-pairs cosine (operators/similarity.cosine_pairs_above)
+    is a verification helper only — a catalog user must always get a
+    bucketed / broadcast-bounded plan. Pins VERDICT r2 item #2.
+    """
+    offenders = []
+    for name, fn in sorted(registry.QUERIES.items()):
+        plan = executed_plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        elif "BroadcastNestedLoopJoin" in plan and name not in _BOUNDED_BNLJ:
+            offenders.append((name, "unbounded BNLJ"))
+    assert not offenders, offenders
