@@ -9,12 +9,18 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 Each query is forced with a cheap action (``count()`` for unbounded
 results, ``collect()`` for bounded top-k) after a warm-up of the JVM
 and the parquet footer cache. Timings are per-query wall clock.
+
+Each query runs ``$SPARK_GRAFT_BENCH_REPS`` times (default 3);
+``queries`` and ``value`` report per-query MEDIANS (run-to-run noise
+on a shared box swamped single-run deltas in rounds 1-2), with
+per-query [min, max] spread under ``queries_minmax``.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -52,10 +58,9 @@ def main() -> None:
     # Warm-up: JVM, codegen, parquet footers — not counted.
     registry.QUERIES["top_words"](spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in registry.QUERIES:
-            continue
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+    def run_once(name: str) -> float:
         t0 = time.time()
         df = registry.QUERIES[name](spark, sf_dir)
         # Bounded results (LIMIT plans) are collected; unbounded counted.
@@ -63,7 +68,16 @@ def main() -> None:
             df.collect()
         else:
             df.count()
-        timings[name] = round(time.time() - t0, 3)
+        return time.time() - t0
+
+    timings: dict[str, float] = {}
+    minmax: dict[str, list[float]] = {}
+    for name in HEADLINE:
+        if name not in registry.QUERIES:
+            continue
+        samples = sorted(run_once(name) for _ in range(reps))
+        timings[name] = round(statistics.median(samples), 3)
+        minmax[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -73,6 +87,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_minmax": minmax,
+                "reps": reps,
                 "sf": sf,
             }
         )

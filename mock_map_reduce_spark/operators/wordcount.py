@@ -117,3 +117,25 @@ def word_count_range_partitioned(df: DataFrame, text_col: str = "text", num_rang
         .groupBy("word")
         .agg(F.count("*").alias("count"))
     )
+
+
+def word_count_dual_sink(df: DataFrame, out_path: str, text_col: str = "text", n: int = 20) -> DataFrame:
+    """S4 + O2 in one pass: full sink AND top-N from a single pipeline run.
+
+    The reference streams every reducer line to the HDFS sink WHILE
+    feeding the bounded top-N heap (master.cc:619-668) — one pass over
+    reducer output, two consumers. The Spark form caches the counts
+    relation: the parquet write materializes it (and populates the
+    cache), then top-N reads the InMemoryRelation — tokenize + both
+    aggregates run exactly once; the second consumer scans cached
+    count rows, never the source text.
+
+    Returns the top-N DataFrame; the counts relation stays cached so
+    further consumers also skip the scan (unpersist via
+    ``spark.catalog.clearCache()`` when done).
+    """
+    counts = word_count(df, text_col).cache()
+    from mock_map_reduce_spark.sources.tables import write_parquet
+
+    write_parquet(counts, out_path)
+    return counts.orderBy(F.desc("count"), F.asc("word")).limit(n)

@@ -35,3 +35,28 @@ def test_overwrite_mode(spark, sf_dir, tmp_path):
     write_parquet(region, out)
     write_parquet(region.limit(2), out)  # overwrite shrinks it
     assert spark.read.parquet(out).count() == 2
+
+
+def test_dual_sink_single_pass(spark, sf_dir, tmp_path):
+    """S4 full sink + O2 top-N from ONE pipeline execution (the
+    reference's single-pass dual consumer, master.cc:619-668)."""
+    from mock_map_reduce_spark.operators import wordcount as wc
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "word_counts")
+    try:
+        top = wc.word_count_dual_sink(docs, out, n=20)
+        # both consumers read the same cached relation — no re-scan
+        assert "InMemoryTableScan" in executed_plan(top)
+        # and the WRITE pass populated that cache (blocks already in
+        # storage before top-N ever runs)
+        assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) > 0
+        top_rows = top.collect()
+        # full sink holds the complete relation; top-N agrees with the
+        # independently computed reference answer
+        full = spark.read.parquet(out)
+        expect = wc.top_n(docs, n=20).collect()
+        assert top_rows == expect
+        assert full.count() == wc.word_count(docs).count()
+    finally:
+        spark.catalog.clearCache()

@@ -6,7 +6,13 @@ schema (column names), and an order-insensitive value hash. Use while
 iterating so CORRECTNESS_r{N}.json holds no surprises.
 
 Usage:
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--vanilla] [sf_dir] [query ...]
+
+--vanilla builds the SparkSession the way the DRIVER does — bare
+``SparkSession.builder.master("local[*]")`` with none of the repo's
+engine confs — so session-portability breaks (e.g. round 1's
+TIMESTAMP(NANOS) failures, invisible under get_spark()) surface
+locally before the driver finds them.
 """
 
 from __future__ import annotations
@@ -56,13 +62,26 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else sys.argv[1:])
+    argv = sys.argv[1:]
+    vanilla = "--vanilla" in argv
+    argv = [a for a in argv if a != "--vanilla"]
+    sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
+    only = set(argv[1:] if argv and os.path.isdir(argv[0]) else argv)
 
     import __spark_entry__ as e
-    from mock_map_reduce_spark import get_spark
 
-    spark = get_spark("oracle-check")
+    if vanilla:
+        # Mirror the driver: a bare session, no repo confs. Queries must
+        # self-provision anything they need (runtime conf.set in
+        # load_table etc.) for this to stay green.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[*]").getOrCreate()
+        print("session: VANILLA (driver-style, no engine confs)")
+    else:
+        from mock_map_reduce_spark import get_spark
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
