@@ -152,3 +152,40 @@ def q_curation_topk_per_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.topk_per_group(scored, "lang", "quality_score", k=5).select(
         "doc_id", "lang", "quality_score", "rn"
     )
+
+
+# Target source mixture: keep all of src0, half of src1, a quarter of
+# src2, 10% of everything else. Thresholds are computed by the SAME
+# helper the operator uses, so Spark and the oracle can never drift.
+MIXTURE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+MIXTURE_DEFAULT = 0.1
+
+
+def _mix_thresh(rate: float) -> str:
+    return "g" if rate >= 1.0 else format(max(int(rate * 65536), 0), "04x")
+
+
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(
+        f"WHEN '{s}' THEN '{_mix_thresh(r)}'" for s, r in sorted(MIXTURE_RATES.items())
+    )
+    + f" ELSE '{_mix_thresh(MIXTURE_DEFAULT)}' END"
+)
+
+
+@query(
+    "curation_mixture_sample",
+    oracle=f"""
+SELECT doc_id, source FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < {_MIX_CASE}
+""",
+)
+def q_curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture reweighting — the data-mixture
+    knob of a training run (e.g. upweight curated sources, downsample
+    crawl), map-only so it rides the 100 TB scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.mixture_sample(
+        docs, MIXTURE_RATES, default_rate=MIXTURE_DEFAULT
+    ).select("doc_id", "source")

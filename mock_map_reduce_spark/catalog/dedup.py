@@ -321,3 +321,44 @@ def q_dedup_fuzzy_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("component").agg(
         F.min("doc_id").alias("keep_id"), F.count("*").alias("cluster_size")
     ).select("keep_id", "cluster_size")
+
+
+# --- benchmark decontamination ---------------------------------------------
+
+CONTAM_NGRAM = 4  # n=4 keeps the check selective but non-degenerate on the corpus
+BENCH_MAX_ID = 10  # docs with doc_id < 10 play the "benchmark/eval set"
+
+_GRAMS_C = f"""
+grams_c AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - {CONTAM_NGRAM - 1}, 0) + 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS gram
+  FROM toks
+)"""
+
+
+@query(
+    "dedup_contamination",
+    oracle=f"""
+WITH {_TOKS},
+{_GRAMS_C},
+bench AS (SELECT DISTINCT gram FROM grams_c WHERE doc_id < {BENCH_MAX_ID}),
+corp AS (SELECT doc_id, gram FROM grams_c WHERE doc_id >= {BENCH_MAX_ID}),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_id, count(*) AS n_shared_grams
+  FROM corp c JOIN bench USING (gram) GROUP BY c.doc_id
+)
+SELECT s.doc_id, n_shared_grams, n_grams,
+       CAST(n_shared_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS overlap_ratio
+FROM shared s JOIN sizes USING (doc_id)
+""",
+)
+def q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any CONTAM_NGRAM-gram with
+    the eval set (doc_id < 10). The DISTINCT benchmark gram set
+    broadcasts, so detection rides the corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < BENCH_MAX_ID)
+    corpus = docs.filter(F.col("doc_id") >= BENCH_MAX_ID)
+    return dd.benchmark_contamination(corpus, bench, n=CONTAM_NGRAM)

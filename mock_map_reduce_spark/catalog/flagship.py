@@ -7,13 +7,18 @@ the mock-MapReduce system as one declarative plan each.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from mock_map_reduce_spark.operators import wordcount as wc
 from mock_map_reduce_spark.registry import query
 from mock_map_reduce_spark.sources import load_table
 
-TOP_N = 50
+# Parameterized N, the reference's stdin-read top-N size
+# (master.cc:595-596): both the Spark query and its oracle read the
+# same value at import, so any setting stays oracle-consistent.
+TOP_N = int(os.environ.get("SPARK_GRAFT_TOP_N", "50"))
 
 # DuckDB oracle tokenization identical to wc.TOKEN_DELIM_RE: split on
 # non-alphabetic runs, drop empties, preserve case (SURVEY §1.4.2/.5).

@@ -85,3 +85,24 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_start", TS_FMT).alias("session_start"),
         "n_events",
     )
+
+
+@query(
+    "streaming_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicates state store) vs batch DISTINCT.
+
+    The in-flight "have I processed this before" primitive: state holds
+    one entry per key inside the watermark horizon and expires beyond
+    it. Keys only in the output, so first-arrival nondeterminism in the
+    non-key columns can't leak into the compare.
+    """
+    from mock_map_reduce_spark.streaming import dedup_stream
+
+    stream = dedup_stream(
+        read_events_stream(spark, sf_dir), keys=("user_id", "event_type")
+    ).select("user_id", "event_type")
+    run_to_memory(stream, "drv_stream_dedup", mode="append")
+    return spark.table("drv_stream_dedup")

@@ -153,3 +153,29 @@ FROM tf JOIN df USING (word) CROSS JOIN n
 )
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.tf_idf(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_repetition",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(w), 1)), i -> w[i] || ' ' || w[i+1]) AS grams
+  FROM toks
+)
+SELECT doc_id,
+       len(grams) AS n_ngrams,
+       len(list_distinct(grams)) AS n_distinct,
+       CASE WHEN len(grams) > 0
+            THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+            ELSE 0.0 END AS repetition_ratio
+FROM g
+""",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-bigram ratio — the boilerplate/template quality signal."""
+    return tx.repetition_ratio(load_table(spark, sf_dir, "documents"), n=2)

@@ -141,3 +141,34 @@ def topk_per_group(
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group downsampling to a target source mixture.
+
+    rates maps group value -> keep probability; rows keep iff the
+    4-hex-char md5 prefix of their id is below the group's threshold
+    (P = int(threshold,16)/65536), so re-runs/backfills keep the exact
+    same rows. rate >= 1.0 keeps everything ('g' sorts after every hex
+    digit, so the compare stays a plain string <).
+
+    Map-only like hash_sample: the mixture predicate rides the scan —
+    reweighting a 100 TB corpus shuffles nothing.
+    """
+
+    def thresh(rate: float) -> str:
+        if rate >= 1.0:
+            return "g"
+        return format(max(int(rate * 65536), 0), "04x")
+
+    key = F.substring(row_key_hash(id_col), 1, 4)
+    t = F.lit(thresh(default_rate))
+    for grp, rate in sorted(rates.items()):
+        t = F.when(F.col(group_col) == grp, F.lit(thresh(rate))).otherwise(t)
+    return docs.filter(key < t)

@@ -311,7 +311,10 @@ def ngram_jaccard_pairs(
     if max_doc_freq is not None:
         # anti-join against the STOP list (grams above the cap) — that
         # list is tiny by construction, so it broadcasts even when the
-        # full vocabulary would not
+        # full vocabulary would not. The doc-freq agg has map-side
+        # combine, so the viral gram costs one partial row per input
+        # partition — skew-safe where a count-over-window would pile
+        # every copy of the hot gram into one task.
         stop = (
             g.groupBy("gram")
             .agg(F.count("*").alias("gdf"))
@@ -319,6 +322,13 @@ def ngram_jaccard_pairs(
             .select("gram")
         )
         g = g.join(F.broadcast(stop), "gram", "left_anti")
+    # Materialize ONE gram-hash exchange that every downstream consumer
+    # shares: both self-join sides read it as ReusedExchange (the join's
+    # distribution requirement is already satisfied — no further
+    # shuffle), and sizes' partial count collapses before its own small
+    # exchange. Without this, the scan+tokenize+shingle lineage re-runs
+    # per consumer.
+    g = g.repartition("gram")
     sizes = g.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     a = g.select(F.col(id_col).alias("id_a"), "gram")
     b = g.select(F.col(id_col).alias("id_b"), "gram")
@@ -507,3 +517,45 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), "component")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus docs sharing >= 1 word n-gram with an eval/benchmark set:
+    (id, n_shared_grams, n_grams, overlap_ratio).
+
+    The training-data decontamination primitive: before training,
+    drop (or flag) documents that leak benchmark content.
+
+    100 TB story: eval sets are tiny next to the corpus, so the
+    DISTINCT benchmark gram set broadcasts — detection is a
+    broadcast-hash join riding the corpus scan; corpus grams are
+    never shuffled. Both aggregates are per-doc counts with map-side
+    partial combine.
+    """
+    bg = shingles(benchmark, n, text_col, id_col).select("gram").distinct()
+    cg = shingles(corpus, n, text_col, id_col)
+    sizes = cg.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    shared = (
+        cg.join(F.broadcast(bg), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+    return (
+        shared.join(sizes, id_col)
+        .withColumn(
+            "overlap_ratio",
+            F.col("n_shared_grams").cast("double") / F.col("n_grams").cast("double"),
+        )
+        .select(id_col, "n_shared_grams", "n_grams", "overlap_ratio")
+    )

@@ -220,3 +220,38 @@ def tf_idf(
             ).alias("tfidf"),
         )
     )
+
+
+def repetition_ratio(
+    docs_in: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Boilerplate signal: fraction of repeated word n-grams per doc.
+
+    (id, n_ngrams, n_distinct, repetition_ratio) where ratio =
+    1 - distinct/total (0 for docs with < n tokens). High values mark
+    template/boilerplate text a quality filter should down-weight.
+    Pure column expressions over the token array — no UDF, no shuffle:
+    the signal rides the scan like the other quality scores.
+    """
+    # Materialize the token array as a real column first — the gram
+    # transform references it per element, and an inline tokenizer
+    # would re-run the regex split once per gram (see dedup._grams_of).
+    base = docs_in.select(F.col(id_col), _word_tokens(text_col).alias("__w"))
+    grams = F.when(
+        F.size("__w") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__w") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select(F.col(id_col), grams.alias("__g"))
+    total = F.size("__g")
+    dist = F.size(F.array_distinct("__g"))
+    return g.select(
+        F.col(id_col),
+        total.cast("long").alias("n_ngrams"),
+        dist.cast("long").alias("n_distinct"),
+        F.when(total > 0, (total - dist).cast("double") / total.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("repetition_ratio"),
+    )

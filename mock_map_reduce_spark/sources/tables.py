@@ -61,7 +61,16 @@ def ensure_session_confs(spark: SparkSession) -> None:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table as a DataFrame (columnar parquet scan)."""
+    """Read one testdata table as a DataFrame (columnar parquet scan).
+
+    Side effect (via ``ensure_session_confs``): sets
+    ``spark.sql.session.timeZone=UTC`` and
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` SESSION-WIDE on every
+    call — any time zone a caller set intentionally is clobbered, and
+    all parquet reads in the session (not just events) see nanos as
+    long. Deliberate: matches the DuckDB oracle and survives
+    vanilla driver-built sessions.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_session_confs(spark)

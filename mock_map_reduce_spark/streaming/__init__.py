@@ -3,6 +3,7 @@ with watermarks). Batch twins live in operators/timeseries.py."""
 
 from mock_map_reduce_spark.streaming.windows import (
     read_events_stream,
+    dedup_stream,
     run_to_memory,
     session_stream,
     sliding_stream,
@@ -11,6 +12,7 @@ from mock_map_reduce_spark.streaming.windows import (
 
 __all__ = [
     "read_events_stream",
+    "dedup_stream",
     "run_to_memory",
     "session_stream",
     "sliding_stream",

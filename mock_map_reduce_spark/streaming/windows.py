@@ -101,13 +101,14 @@ def session_stream(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> None:
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> None:
     """Drive a streaming query over all available input synchronously.
 
-    Complete-mode memory sink: deterministic full result for tests.
+    Memory sink; deterministic full result for tests. mode="append"
+    for stateful operators (dropDuplicates) that forbid complete mode.
     """
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .start()
@@ -118,11 +119,15 @@ def run_to_memory(stream_df: DataFrame, name: str) -> None:
         q.stop()
 
 
-def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Exactly-once event dedup on a stream: drop repeated event_ids.
+def dedup_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Exactly-once dedup on a stream: drop repeated key tuples.
 
-    State holds one entry per event_id seen within the watermark
-    horizon; ids older than the watermark are expired — the bounded
-    version of "have I processed this before" at 100 TB/day ingest.
+    State holds one entry per key seen within the watermark horizon;
+    keys older than the watermark are expired — the bounded version of
+    "have I processed this before" at 100 TB/day ingest.
     """
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    return events.withWatermark("ts", watermark).dropDuplicates(list(keys))

@@ -78,3 +78,21 @@ def test_topk_per_group_bounded_and_ordered(docs):
     # top-2 by score desc with id tie-break, per group
     assert sorted(per["en"]) == [(1, 4), (2, 1)]
     assert sorted(per["de"]) == [(1, 5), (2, 3)]
+
+
+def test_mixture_sample_rates(spark):
+    from pyspark.sql import Row
+
+    rows = [Row(doc_id=i, source="a" if i % 2 == 0 else "b") for i in range(1000)]
+    df = spark.createDataFrame(rows)
+    kept = cu.mixture_sample(df, {"a": 1.0, "b": 0.0}).collect()
+    assert all(r.source == "a" for r in kept)
+    assert len(kept) == 500  # rate 1.0 keeps every row of the group
+    # default rate applies to unlisted groups; ~25% of b kept, deterministic
+    kept2 = cu.mixture_sample(df, {"a": 1.0}, default_rate=0.25).collect()
+    n_b = sum(1 for r in kept2 if r.source == "b")
+    assert 80 <= n_b <= 170  # 500 * 0.25 = 125 expected, md5-deterministic
+    # re-run is bit-identical
+    assert sorted(r.doc_id for r in kept2) == sorted(
+        r.doc_id for r in cu.mixture_sample(df, {"a": 1.0}, default_rate=0.25).collect()
+    )

@@ -150,3 +150,39 @@ def test_ngram_jaccard_stop_shingle_guard(spark):
     # with guard (boilerplate grams appear in 2 docs -> capped at 1):
     guarded = {(r.id_a, r.id_b): r.jaccard for r in dd.ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=1).collect()}
     assert (1, 2) not in guarded  # boilerplate-only overlap gone
+
+
+def test_benchmark_contamination_planted(spark):
+    bench = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta epsilon zeta")]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares the 4-gram "beta gamma delta epsilon"
+            Row(doc_id=10, text="xx beta gamma delta epsilon yy"),
+            # no shared 4-gram
+            Row(doc_id=11, text="one two three four five six seven"),
+        ]
+    )
+    out = {r.doc_id: r for r in dd.benchmark_contamination(corpus, bench, n=4).collect()}
+    assert set(out) == {10}
+    r = out[10]
+    assert r.n_shared_grams == 1 and r.n_grams == 3
+    assert abs(r.overlap_ratio - 1 / 3) < 1e-12
+
+
+def test_simhash_md5_path_matches_planted_behavior(spark):
+    rows = [
+        Row(doc_id=1, text=BASE),
+        Row(doc_id=2, text=BASE),
+        Row(doc_id=4, text=UNRELATED),
+    ]
+    df = spark.createDataFrame(rows)
+    sh = {r.doc_id: r.simhash for r in dd.simhash(df, use_md5=True).collect()}
+    assert sh[1] == sh[2]          # identical text -> identical digest
+    assert sh[1] != sh[4]          # unrelated text -> different digest
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.simhash_candidate_pairs(df, use_md5=True).collect()
+    }
+    assert (1, 2) in pairs

@@ -93,3 +93,20 @@ def test_tfidf_values(spark):
     assert got[(2, "a")] == (1, 2, 1.0)
     # word b: df=1 -> idf = ln(3/2)+1
     assert got[(1, "b")] == (1, 1, round(math.log(3 / 2) + 1, 6))
+
+
+def test_repetition_ratio(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="x y x y x y"),   # bigrams: xy yx xy yx xy -> 5 total, 2 distinct
+            Row(doc_id=2, text="a b c d"),        # all distinct
+            Row(doc_id=3, text="single"),         # < n tokens
+        ]
+    )
+    out = {r.doc_id: r for r in tx.repetition_ratio(df, n=2).collect()}
+    assert out[1].n_ngrams == 5 and out[1].n_distinct == 2
+    assert abs(out[1].repetition_ratio - 0.6) < 1e-12
+    assert out[2].repetition_ratio == 0.0
+    assert out[3].n_ngrams == 0 and out[3].repetition_ratio == 0.0
