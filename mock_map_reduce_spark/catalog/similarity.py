@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from mock_map_reduce_spark.operators import similarity as sim
+from mock_map_reduce_spark.operators import clustering as cl, similarity as sim
 from mock_map_reduce_spark.registry import query
 from mock_map_reduce_spark.sources import load_table
 
@@ -155,3 +155,57 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_lsh(
         emb, NDUP_THRESHOLD, dim=EMB_DIM, nbits=NDUP_BITS, seed=42
     )
+
+
+# --- deterministic k-means (iterative, yet fully oracle-checked) -----------
+
+KM_K = 8
+KM_ITER = 2
+
+
+def _km_assign_cte(name: str, cent: str, with_cos: bool = False) -> str:
+    cos = _cos("v.e", f"{cent}.ce")
+    proj = "vec_id, e, cid AS cell" + (", cos" if with_cos else "")
+    return f"""{name} AS (
+  SELECT {proj} FROM (
+    SELECT v.vec_id, v.e, {cent}.cid, {cos} AS cos,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {cos} DESC, {cent}.cid) AS rn
+    FROM v CROSS JOIN {cent}
+  ) WHERE rn = 1
+)"""
+
+
+def _km_update_cte(mname: str, cname: str, assigned: str) -> str:
+    return f"""{mname} AS (
+  SELECT cell, dim,
+         CAST(SUM(CAST(e[dim] AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS m
+  FROM {assigned} CROSS JOIN dims GROUP BY cell, dim
+),
+{cname} AS (SELECT cell AS cid, list(m ORDER BY dim) AS ce FROM {mname} GROUP BY cell)"""
+
+
+def _km_oracle() -> str:
+    parts = [
+        _V,
+        f"dims AS (SELECT unnest(range(1, {EMB_DIM + 1})) AS dim)",
+        f"c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {KM_K})",
+    ]
+    for i in range(KM_ITER):
+        parts.append(_km_assign_cte(f"a{i}", f"c{i}"))
+        parts.append(_km_update_cte(f"m{i}", f"c{i + 1}", f"a{i}"))
+    parts.append(_km_assign_cte("afinal", f"c{KM_ITER}", with_cos=True))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT vec_id, cell, round(cos, 6) AS cosine FROM afinal"
+    )
+
+
+@query("similarity_kmeans", oracle=_km_oracle())
+def q_similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic Lloyd rounds (seed centroids = vec_id < 8,
+    exact-decimal centroid means), final assignment oracle-checked
+    end-to-end — the iteration itself is inside the compare, unlike
+    dedup_clusters where only pytest pins the loop."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cl.kmeans_lloyd(emb, k=KM_K, n_iter=KM_ITER)

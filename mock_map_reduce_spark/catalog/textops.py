@@ -36,10 +36,9 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.token_stats(load_table(spark, sf_dir, "documents"))
 
 
-@query(
-    "text_quality",
-    oracle=f"""
-WITH {_TOKS},
+# Quality-score CTE chain, shared by text_quality and the per-group
+# quantile floor below (toks -> counting features -> ratios).
+_QUALITY_CTES = f"""{_TOKS},
 feat AS (
   SELECT doc_id,
          len(w) AS n_toks,
@@ -56,7 +55,13 @@ ratios AS (
          CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END AS alpha_ratio,
          CASE WHEN n_toks > 0 THEN CAST(n_distinct AS DOUBLE) / n_toks ELSE 0.0 END AS distinct_ratio
   FROM feat
-)
+)"""
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+WITH {_QUALITY_CTES}
 SELECT doc_id,
        round(mean_word_len, 6) AS mean_word_len,
        round(stop_ratio, 6) AS stopword_ratio,
@@ -179,3 +184,41 @@ FROM g
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-bigram ratio — the boilerplate/template quality signal."""
     return tx.repetition_ratio(load_table(spark, sf_dir, "documents"), n=2)
+
+
+@query(
+    "curation_quality_floor",
+    oracle=f"""
+WITH {_QUALITY_CTES},
+q AS (
+  SELECT doc_id,
+         round(least(mean_word_len / 8.0, 1.0) * 0.25
+               + least(stop_ratio * 4.0, 1.0) * 0.25
+               + alpha_ratio * 0.25
+               + distinct_ratio * 0.25, 6) AS quality_score
+  FROM ratios
+),
+j AS (SELECT d.doc_id, d.lang, q.quality_score FROM documents d JOIN q USING (doc_id)),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality_score, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM j
+),
+t AS (SELECT lang, quality_score AS thr FROM r WHERE rn = ((n - 1) * 25) // 100 + 1)
+SELECT j.doc_id, j.lang, j.quality_score
+FROM j JOIN t USING (lang) WHERE j.quality_score >= t.thr
+""",
+)
+def q_curation_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop each language's worst quality quartile (discrete-rank p25
+    threshold — integer rank arithmetic picks an actual data value, so
+    the filter boundary is bit-identical across engines/retries)."""
+    from mock_map_reduce_spark.operators import curation as cu
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang").join(
+        tx.quality_score(docs).select("doc_id", "quality_score"), "doc_id"
+    )
+    return cu.per_group_quantile_floor(
+        scored, "lang", "quality_score", 25, 100
+    ).select("doc_id", "lang", "quality_score")

@@ -1,0 +1,88 @@
+"""Distributed k-means (Lloyd) over embedding columns — deterministic.
+
+The iterative-algorithm primitive of a training-data pipeline
+(corpus bucketing, semantic sharding, coarse quantizer training for
+the IVF index in operators/similarity). Like connected_components
+(operators/dedup.py:~500) this is a driver-coordinated loop of pure
+DataFrame stages — but unlike it, every round here is made
+BIT-DETERMINISTIC so the whole iteration is oracle-checkable:
+
+  * init centroids = the vectors with id < k (no RNG);
+  * assignment = argmax cosine, ties broken on the lower centroid id
+    (cosine is a sequential left-to-right fold — deterministic and
+    engine-portable, see operators/similarity.dot);
+  * update = per-dimension mean computed as an EXACT decimal(30,15)
+    sum cast to double, divided by the count — float summation order
+    can no longer change the centroid, so Spark and DuckDB agree to
+    the last bit.
+
+Scale (100 TB of vectors): per iteration, the k centroids broadcast
+(k x dim doubles — tiny), so assignment rides the corpus scan with no
+shuffle; the update is a groupBy(cell, dim) whose map-side partial
+agg shrinks the exchange to k x dim rows per input partition. Driver
+holds nothing but the loop counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from mock_map_reduce_spark.operators.similarity import as_double_array, cosine
+
+
+def _assign(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, e, cell, cos): nearest centroid by cosine, ties -> low cid."""
+    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+        "cos", cosine(F.col("e"), F.col("ce"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", F.col("cid").alias("cell"), "cos")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """New centroids: exact-decimal per-dimension means of each cell."""
+    dims = assigned.select("cell", F.posexplode("e").alias("dim", "val"))
+    means = dims.groupBy("cell", "dim").agg(
+        (
+            F.sum(F.col("val").cast("decimal(30,15)")).cast("double") / F.count("*")
+        ).alias("m")
+    )
+    return (
+        means.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("ce")
+        )
+        .select(F.col("cell").alias("cid"), "ce")
+    )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``n_iter`` Lloyd rounds; return the final assignment
+    (vec_id, cell, cosine) of every vector to its nearest centroid.
+
+    A cell that loses all members simply drops out (no re-seeding) —
+    deterministic and mirrored by the SQL oracle's inner joins.
+    """
+    v = emb.select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("e"))
+    cents = v.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    for _ in range(n_iter):
+        cents = _update(_assign(v, cents))
+    final = _assign(v, cents)
+    return final.select(
+        F.col("vec_id").alias(id_col), "cell", F.round("cos", 6).alias("cosine")
+    )

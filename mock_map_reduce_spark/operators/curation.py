@@ -172,3 +172,44 @@ def mixture_sample(
     for grp, rate in sorted(rates.items()):
         t = F.when(F.col(group_col) == grp, F.lit(thresh(rate))).otherwise(t)
     return docs.filter(key < t)
+
+
+def per_group_quantile_floor(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q_num: int = 25,
+    q_den: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep rows at/above their group's q-th DISCRETE quantile.
+
+    threshold(group) = the value at 0-indexed rank (n-1)*q_num//q_den
+    in (value, id) order — pure integer rank arithmetic selecting an
+    ACTUAL data value, so there is no interpolation float to disagree
+    about across engines or retries. The per-group filter a curation
+    run uses to drop each language's worst quartile without a global
+    quality bar (which would gut low-resource languages).
+
+    Scale: the threshold pass is one window sort per group; the
+    threshold table is one row per group and broadcasts back, so the
+    keep-filter itself rides a second scan. For groups too hot to
+    sort, swap the exact rank for percentile_approx (approx_quantiles
+    shows the sketch) — same downstream shape.
+    """
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.asc(value_col), F.asc(id_col)
+    )
+    w_n = Window.partitionBy(group_col)
+    ranked = df.withColumn("__rn", F.row_number().over(w_rank)).withColumn(
+        "__n", F.count("*").over(w_n)
+    )
+    # integer division: ((n-1)*q_num) div q_den + 1
+    thr = ranked.filter(
+        F.col("__rn") == F.expr(f"((__n - 1) * {q_num}) div {q_den} + 1")
+    ).select(F.col(group_col), F.col(value_col).alias("__thr"))
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .filter(F.col(value_col) >= F.col("__thr"))
+        .drop("__thr")
+    )

@@ -11,8 +11,14 @@ from mock_map_reduce_spark.sources.tables import (
     TABLES,
     load_table,
     load_tables,
+    read_csv,
+    read_json,
+    read_orc,
     read_text,
     register_views,
+    write_csv,
+    write_json,
+    write_orc,
     write_parquet,
 )
 
@@ -20,7 +26,13 @@ __all__ = [
     "TABLES",
     "load_table",
     "load_tables",
+    "read_csv",
+    "read_json",
+    "read_orc",
     "read_text",
     "register_views",
+    "write_csv",
+    "write_json",
+    "write_orc",
     "write_parquet",
 ]

@@ -120,3 +120,46 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str | None = None, header: bool = True) -> DataFrame:
+    """CSV scan with an EXPLICIT schema whenever the caller knows it.
+
+    schema=None falls back to inference, which reads the data twice —
+    never acceptable at 100 TB; pass the DDL string in production.
+    Malformed rows land in PERMISSIVE-mode nulls rather than failing
+    the job (a crawl shard with one bad line must not kill the stage).
+    """
+    r = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "true")
+    return r.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON-lines scan; explicit schema skips the inference pass and
+    keeps unknown fields out (schema-on-read column pruning still
+    applies — Spark only parses the requested fields)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning contract as parquet."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

@@ -1,0 +1,42 @@
+"""k-means tests: planted clusters, determinism, convergence shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from mock_map_reduce_spark.operators import clustering as cl
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    # Two tight clusters near orthogonal axes + seed vectors 0/1 in them.
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.05, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.0, 0.05, 1.0, 0.0]),
+        Row(vec_id=2, embedding=[0.9, 0.0, 0.1, 0.0]),
+        Row(vec_id=3, embedding=[1.0, 0.1, 0.0, 0.1]),
+        Row(vec_id=4, embedding=[0.1, 0.0, 0.9, 0.0]),
+        Row(vec_id=5, embedding=[0.0, 0.1, 1.0, 0.1]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_kmeans_planted_clusters(planted):
+    out = {r.vec_id: r.cell for r in cl.kmeans_lloyd(planted, k=2, n_iter=2).collect()}
+    assert out[0] == out[2] == out[3]  # x-axis cluster
+    assert out[1] == out[4] == out[5]  # z-axis cluster
+    assert out[0] != out[1]
+
+
+def test_kmeans_deterministic_rerun(planted):
+    a = sorted(tuple(r) for r in cl.kmeans_lloyd(planted, k=2, n_iter=2).collect())
+    b = sorted(tuple(r) for r in cl.kmeans_lloyd(planted, k=2, n_iter=2).collect())
+    assert a == b
+
+
+def test_kmeans_zero_iter_is_seed_assignment(planted):
+    # n_iter=0: assignment against the raw seed vectors; seeds match themselves
+    out = {r.vec_id: r for r in cl.kmeans_lloyd(planted, k=2, n_iter=0).collect()}
+    assert out[0].cell == 0 and out[1].cell == 1
+    assert out[0].cosine == 1.0 and out[1].cosine == 1.0

@@ -96,3 +96,18 @@ def test_mixture_sample_rates(spark):
     assert sorted(r.doc_id for r in kept2) == sorted(
         r.doc_id for r in cu.mixture_sample(df, {"a": 1.0}, default_rate=0.25).collect()
     )
+
+
+def test_per_group_quantile_floor(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=i, grp="a", score=float(i)) for i in range(8)
+    ] + [Row(doc_id=100 + i, grp="b", score=float(10 * i)) for i in range(5)]
+    df = spark.createDataFrame(rows)
+    kept = cu.per_group_quantile_floor(df, "grp", "score", 25, 100)
+    got = {(r.grp, r.doc_id) for r in kept.collect()}
+    # group a: n=8 -> rank (7*25)//100+1 = 2 -> threshold = score 1.0 -> keep ids 1..7
+    assert {(g, d) for g, d in got if g == "a"} == {("a", i) for i in range(1, 8)}
+    # group b: n=5 -> rank (4*25)//100+1 = 2 -> threshold = 10.0 -> keep 101..104
+    assert {(g, d) for g, d in got if g == "b"} == {("b", 100 + i) for i in range(1, 5)}

@@ -115,9 +115,11 @@ def test_lsh_group_pair_generation_plan(spark, sf_dir):
 #   similarity_ann_ivf:         8 centroid vectors × corpus (cell assign)
 #   text_tfidf:                 vocabulary-sized df table broadcast back
 #   range_join_banded:          5-row literal bands dimension
+#   similarity_kmeans:          8 broadcast centroids × corpus per round
 _BOUNDED_BNLJ = {
     "similarity_topk_bruteforce",
     "similarity_ann_ivf",
+    "similarity_kmeans",
     "text_tfidf",
     "range_join_banded",
 }

