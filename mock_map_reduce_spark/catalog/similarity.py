@@ -209,3 +209,32 @@ def q_similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_clusters where only pytest pins the loop."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cl.kmeans_lloyd(emb, k=KM_K, n_iter=KM_ITER)
+
+
+# --- int8 quantization audit ------------------------------------------------
+
+_ABSMAX = "list_reduce(list_transform({a}, x -> abs(x)), (x, y) -> greatest(x, y))"
+
+
+@query(
+    "similarity_quantize_int8",
+    oracle=f"""
+WITH {_V},
+s AS (SELECT vec_id, e, 127.0 / {_ABSMAX.format(a="e")} AS scale FROM v),
+q AS (SELECT vec_id, e, scale, list_transform(e, x -> floor(x * scale + 0.5)) AS qc FROM s)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       CAST(list_reduce(list_transform(qc, x -> abs(x)), (x, y) -> x + y) AS BIGINT) AS q_l1,
+       list_reduce(
+         list_prepend(0.0,
+           list_transform(range(1, len(e) + 1), i -> (e[i] - qc[i] / scale) * (e[i] - qc[i] / scale))),
+         (acc, x) -> acc + x) / len(e) AS recon_mse
+FROM q
+""",
+)
+def q_similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization audit — codes pinned
+    exactly via the integer |code| sum, reconstruction MSE via
+    sequential fold (floor(x+0.5) sidesteps engine round-half rules)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.quantize_int8_stats(emb)

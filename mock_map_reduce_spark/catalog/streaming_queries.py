@@ -106,3 +106,25 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_type")
     run_to_memory(stream, "drv_stream_dedup", mode="append")
     return spark.table("drv_stream_dedup")
+
+
+@query(
+    "streaming_interval_join",
+    oracle=f"""
+WITH {_E},
+c AS (SELECT user_id, event_id AS l_id, t AS l_ts FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS r_id, t AS r_ts FROM e WHERE event_type = 'purchase')
+SELECT c.user_id, l_id, r_id
+FROM c JOIN p ON c.user_id = p.user_id
+ AND r_ts > l_ts AND r_ts <= l_ts + INTERVAL 30 MINUTE
+""",
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click -> purchase within 30 min,
+    same user) vs the batch interval self-join — watermarks on both
+    sides bound the join state."""
+    from mock_map_reduce_spark.streaming import interval_join_stream
+
+    stream = interval_join_stream(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "drv_stream_ivjoin", mode="append")
+    return spark.table("drv_stream_ivjoin")

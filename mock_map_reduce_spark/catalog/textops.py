@@ -4,7 +4,7 @@ fingerprints, TF-IDF — every one oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mock_map_reduce_spark.operators import text as tx
 from mock_map_reduce_spark.registry import query
@@ -222,3 +222,35 @@ def q_curation_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.per_group_quantile_floor(
         scored, "lang", "quality_score", 25, 100
     ).select("doc_id", "lang", "quality_score")
+
+
+@query(
+    "text_scrub_pii",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-0199 ref 1234567890',
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{3}[- .][0-9]{4}', '<PHONE>', 'g'),
+         '[0-9]{6,}', '<NUM>', 'g') AS clean_text
+FROM documents
+""",
+)
+def q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / phone-shapes / long digit runs -> typed
+    tokens). The corpus text is lowercase words, so the query plants a
+    synthetic PII suffix on every row first — each row then exercises
+    all three patterns instead of no-oping."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-0199 ref 1234567890"),
+        ).alias("text"),
+    )
+    return tx.scrub_pii(planted)

@@ -158,3 +158,31 @@ def q_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+@query(
+    "events_funnel",
+    oracle=f"""
+WITH {_E},
+s0 AS (SELECT user_id, min(t) AS t_prev FROM e WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (
+  SELECT e.user_id, min(t) AS t_prev
+  FROM e JOIN s0 USING (user_id)
+  WHERE event_type = 'click' AND t > s0.t_prev GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(t) AS t_prev
+  FROM e JOIN s1 USING (user_id)
+  WHERE event_type = 'purchase' AND t > s1.t_prev GROUP BY e.user_id
+)
+SELECT 0 AS stage_idx, 'view' AS stage, (SELECT count(*) FROM s0) AS n_users
+UNION ALL
+SELECT 1, 'click', (SELECT count(*) FROM s1)
+UNION ALL
+SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+""",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel (min-timestamp chain)."""
+    events = load_table(spark, sf_dir, "events")
+    return ts.funnel_counts(events, ["view", "click", "purchase"])

@@ -343,3 +343,52 @@ def embedding_near_dup_lsh(
         .filter(F.col("cosine") >= threshold)
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def quantize_int8_stats(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit:
+    (id, scale, q_l1, recon_mse).
+
+    scale = 127 / max|v|; codes q_i = floor(v_i * scale + 0.5) — the
+    explicit floor(+0.5) sidesteps engine round-half rules, so codes
+    are bit-identical everywhere. q_l1 (integer sum of |codes|) pins
+    the codes exactly; recon_mse is the sequential-fold dequantization
+    error. This is the storage-shrink audit for embedding tables:
+    4 bytes -> 1 byte per dim ahead of ANN serving.
+    """
+    e = as_double_array(vec_col)
+    amax = F.aggregate(
+        F.transform(e, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: F.greatest(a, x)
+    )
+    base = emb.select(
+        F.col(id_col), e.alias("e"), (F.lit(127.0) / amax).alias("scale")
+    ).filter(F.col("scale").isNotNull())
+    q = F.transform(F.col("e"), lambda x: F.floor(x * F.col("scale") + F.lit(0.5)))
+    base = base.withColumn("q", q)
+    q_l1 = F.aggregate(
+        F.transform(F.col("q"), lambda x: F.abs(x)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    # Materialize the error vector as a REAL column before folding:
+    # referencing an inline zip_with from the fold lambda re-evaluates
+    # it per reference, and the re-derived expression does not take the
+    # same float path (measured: differs from the plain a + x*x fold in
+    # the 8th significant digit — enough to break cross-engine
+    # bit-parity). A bound column makes the arithmetic exactly what it
+    # reads as, in both engines.
+    base = base.withColumn(
+        "err",
+        F.zip_with(
+            F.col("e"), F.col("q"), lambda x, y: x - y.cast("double") / F.col("scale")
+        ),
+    )
+    mse = F.aggregate(F.col("err"), F.lit(0.0), lambda a, x: a + x * x) / F.size("e")
+    return base.select(
+        F.col(id_col),
+        F.round("scale", 6).alias("scale"),
+        q_l1.alias("q_l1"),
+        mse.alias("recon_mse"),
+    )

@@ -255,3 +255,27 @@ def repetition_ratio(
         .otherwise(F.lit(0.0))
         .alias("repetition_ratio"),
     )
+
+
+# PII scrubbing patterns — conservative syntax that Java regex (Spark)
+# and RE2 (DuckDB) interpret identically; no backrefs, no lookaround.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "[0-9]{3}[- .][0-9]{4}"
+PII_LONG_NUM_RE = "[0-9]{6,}"
+
+
+def scrub_pii(
+    docs_in: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Replace emails / phone-shaped numbers / long digit runs with
+    typed placeholder tokens: (id, clean_text).
+
+    The pre-training redaction pass. Order matters (emails before
+    digit runs, phones before bare digit runs); pure regexp_replace
+    projections riding the scan — no UDF, no shuffle.
+    """
+    c = F.col(text_col)
+    c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
+    c = F.regexp_replace(c, PII_LONG_NUM_RE, "<NUM>")
+    return docs_in.select(F.col(id_col), c.alias("clean_text"))

@@ -152,3 +152,52 @@ def asof_join(
         F.col("__ts").alias(left_ts),
         *[F.col(f"__r_{alias}").alias(alias) for alias in right_cols.values()],
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Ordered-funnel stage counts: (stage_idx, stage, n_users).
+
+    A user reaches stage i+1 only with an event of that type STRICTLY
+    AFTER their earliest time of reaching stage i (classic
+    min-timestamp funnel). Each hop is one groupBy(user) agg joined
+    back on user — shuffles carry one row per user per stage, never
+    raw events.
+
+    ONE declarative plan, no driver-side actions: the per-stage counts
+    union into a single k-row result, and stage i's subtree (which
+    contains stages 0..i-1) reuses the earlier stages' exchanges via
+    ReusedExchange rather than recomputing them. At 100 TB the event
+    scan dominates; each stage's type filter is pushed to the scan.
+    """
+    reached = (
+        events.filter(F.col("event_type") == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_prev"))
+    )
+    per_stage = [reached]
+    for stage in stages[1:]:
+        reached = (
+            events.filter(F.col("event_type") == stage)
+            .join(reached, user_col)
+            .filter(F.col(ts_col) > F.col("t_prev"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("t_prev"))
+        )
+        per_stage.append(reached)
+    counts = [
+        df.agg(F.count("*").alias("n_users")).select(
+            F.lit(i).cast("int").alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            "n_users",
+        )
+        for i, (stage, df) in enumerate(zip(stages, per_stage))
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out

@@ -4,6 +4,7 @@ with watermarks). Batch twins live in operators/timeseries.py."""
 from mock_map_reduce_spark.streaming.windows import (
     read_events_stream,
     dedup_stream,
+    interval_join_stream,
     run_to_memory,
     session_stream,
     sliding_stream,
@@ -13,6 +14,7 @@ from mock_map_reduce_spark.streaming.windows import (
 __all__ = [
     "read_events_stream",
     "dedup_stream",
+    "interval_join_stream",
     "run_to_memory",
     "session_stream",
     "sliding_stream",

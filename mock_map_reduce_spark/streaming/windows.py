@@ -131,3 +131,45 @@ def dedup_stream(
     "have I processed this before" at 100 TB/day ingest.
     """
     return events.withWatermark("ts", watermark).dropDuplicates(list(keys))
+
+
+def interval_join_stream(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each ``left_type`` event paired
+    with every ``right_type`` event by the SAME user in
+    (left_ts, left_ts + within].
+
+    Both sides are watermarked, and the join condition bounds
+    right_ts relative to left_ts, so state on each side expires once
+    the other side's watermark passes — bounded memory at unbounded
+    ingest, the attribution-join shape (click -> purchase within N).
+    """
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("l_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    cond = (
+        (left.user_id == right.r_user)
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return left.join(right, cond).select("user_id", "l_id", "r_id")

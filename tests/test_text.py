@@ -110,3 +110,11 @@ def test_repetition_ratio(spark):
     assert abs(out[1].repetition_ratio - 0.6) < 1e-12
     assert out[2].repetition_ratio == 0.0
     assert out[3].n_ngrams == 0 and out[3].repetition_ratio == 0.0
+
+
+def test_scrub_pii_planted(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="mail a.b+c@ex-y.org call 555-0100 card 4111111111111111 ok 123")]
+    )
+    out = tx.scrub_pii(df).collect()[0].clean_text
+    assert out == "mail <EMAIL> call <PHONE> card <NUM> ok 123"

@@ -77,3 +77,28 @@ def test_sessionize_exact_gap_boundary(spark):
     by_session = {r.session_id: r.n_events for r in out}
     # 0 -> 1800s: gap == 1800s exactly -> same session; +1800.000001s -> new
     assert by_session == {1: 2, 2: 1}
+
+
+def test_funnel_counts_planted(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from mock_map_reduce_spark.operators import timeseries as ts
+
+    def ev(i, u, t, typ):
+        return Row(event_id=i, user_id=u, ts=datetime(2024, 1, 1, 0, t), event_type=typ)
+
+    rows = [
+        # user 1: full ordered funnel
+        ev(1, 1, 0, "view"), ev(2, 1, 5, "click"), ev(3, 1, 9, "purchase"),
+        # user 2: click BEFORE view -> stops at view stage
+        ev(4, 2, 5, "click"), ev(5, 2, 7, "view"),
+        # user 3: view+click, no purchase
+        ev(6, 3, 1, "view"), ev(7, 3, 2, "click"),
+        # user 4: purchase only -> never enters funnel
+        ev(8, 4, 3, "purchase"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.stage: r.n_users for r in ts.funnel_counts(df, ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
