@@ -186,3 +186,26 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view -> click -> purchase funnel (min-timestamp chain)."""
     events = load_table(spark, sf_dir, "events")
     return ts.funnel_counts(events, ["view", "click", "purchase"])
+
+
+@query(
+    "events_retention",
+    oracle=f"""
+WITH {_E},
+cohorts AS (
+  SELECT user_id, min(CAST(t AS DATE)) AS cohort_day
+  FROM e WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (SELECT DISTINCT user_id, CAST(t AS DATE) AS day FROM e)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       datediff('day', cohort_day, day) AS offset_days,
+       count(DISTINCT user_id) AS n_active
+FROM activity JOIN cohorts USING (user_id)
+WHERE datediff('day', cohort_day, day) BETWEEN 1 AND 7
+GROUP BY cohorts.cohort_day, offset_days
+""",
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-cohort daily retention over a 7-day horizon."""
+    events = load_table(spark, sf_dir, "events")
+    return ts.retention_cohorts(events)

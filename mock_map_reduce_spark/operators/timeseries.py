@@ -201,3 +201,42 @@ def funnel_counts(
     for c in counts[1:]:
         out = out.unionAll(c)
     return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    cohort_type: str = "signup",
+    max_offset_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Daily cohort retention: (cohort_day, offset_days, n_active).
+
+    cohort_day = a user's first ``cohort_type`` event date; a user is
+    retained at offset k if they have ANY event k days later. The
+    classic growth-analytics rollup, and a pure two-agg plan: distinct
+    (user, day) activity is one exchange, cohorts one more, the final
+    groupBy a third — shuffles carry user/day pairs, never raw events.
+    """
+    cohorts = (
+        events.filter(F.col("event_type") == cohort_type)
+        .groupBy(user_col)
+        .agg(F.min(F.to_date(ts_col)).alias("cohort_day"))
+    )
+    activity = events.select(
+        F.col(user_col), F.to_date(ts_col).alias("day")
+    ).distinct()
+    return (
+        activity.join(cohorts, user_col)
+        .withColumn("offset_days", F.datediff("day", "cohort_day").cast("long"))
+        .filter(
+            (F.col("offset_days") >= 1) & (F.col("offset_days") <= max_offset_days)
+        )
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.countDistinct(user_col).alias("n_active"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "offset_days",
+            "n_active",
+        )
+    )

@@ -102,3 +102,30 @@ def test_funnel_counts_planted(spark):
     df = spark.createDataFrame(rows)
     out = {r.stage: r.n_users for r in ts.funnel_counts(df, ["view", "click", "purchase"]).collect()}
     assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_retention_cohorts_planted(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from mock_map_reduce_spark.operators import timeseries as ts
+
+    def ev(i, u, d, typ):
+        return Row(event_id=i, user_id=u, ts=datetime(2024, 1, d, 12), event_type=typ)
+
+    rows = [
+        # cohort 2024-01-01: users 1, 2
+        ev(1, 1, 1, "signup"), ev(2, 2, 1, "signup"),
+        # user 1 active day 2 and 3; user 2 active day 3 only
+        ev(3, 1, 2, "view"), ev(4, 1, 3, "click"), ev(5, 2, 3, "view"),
+        # user 3 never signs up -> no cohort
+        ev(6, 3, 2, "view"),
+        # activity beyond the 7-day horizon is dropped
+        ev(7, 1, 9, "view"),
+    ]
+    out = {
+        (r.cohort_day, r.offset_days): r.n_active
+        for r in ts.retention_cohorts(spark.createDataFrame(rows)).collect()
+    }
+    assert out == {("2024-01-01", 1): 1, ("2024-01-01", 2): 2}
