@@ -140,3 +140,16 @@ def test_no_catalog_query_is_quadratic(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in plan and name not in _BOUNDED_BNLJ:
             offenders.append((name, "unbounded BNLJ"))
     assert not offenders, offenders
+
+
+def test_contamination_benchmark_side_broadcasts(q):
+    # eval-set grams must broadcast; corpus grams never shuffle to meet them
+    plan = executed_plan(q("dedup_contamination"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_map_only_curation_queries_shuffle_nothing(q):
+    # mixture sampling and PII scrubbing ride the scan: zero exchanges
+    assert count_exchanges(q("curation_mixture_sample")) == 0
+    assert count_exchanges(q("text_scrub_pii")) == 0
+    assert count_exchanges(q("text_repetition")) == 0
