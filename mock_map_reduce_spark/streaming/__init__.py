@@ -4,6 +4,7 @@ with watermarks). Batch twins live in operators/timeseries.py."""
 from mock_map_reduce_spark.streaming.windows import (
     read_events_stream,
     dedup_stream,
+    dedup_stream_bounded,
     interval_join_stream,
     run_to_memory,
     session_stream,
@@ -14,6 +15,7 @@ from mock_map_reduce_spark.streaming.windows import (
 __all__ = [
     "read_events_stream",
     "dedup_stream",
+    "dedup_stream_bounded",
     "interval_join_stream",
     "run_to_memory",
     "session_stream",

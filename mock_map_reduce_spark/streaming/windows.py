@@ -124,13 +124,38 @@ def dedup_stream(
     watermark: str = "2 hours",
     keys: tuple[str, ...] = ("event_id",),
 ) -> DataFrame:
-    """Exactly-once dedup on a stream: drop repeated key tuples.
+    """GLOBAL streaming dedup: each key tuple is emitted exactly once
+    for the stream's lifetime.
 
-    State holds one entry per key seen within the watermark horizon;
-    keys older than the watermark are expired — the bounded version of
-    "have I processed this before" at 100 TB/day ingest.
+    Honest state note: global distinct requires one state entry per
+    key FOREVER — the watermark does NOT expire state here, because
+    the dedup keys exclude the event-time column (Spark only expires
+    dropDuplicates state when the time column is part of the keys).
+    Right when the key space is bounded (entity ids); for unbounded
+    keys at 100 TB/day use ``dedup_stream_bounded`` below, which
+    trades "global" for "within the watermark horizon" and gets
+    bounded state in return.
     """
     return events.withWatermark("ts", watermark).dropDuplicates(list(keys))
+
+
+def dedup_stream_bounded(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark).
+
+    Drops duplicates that arrive within the watermark delay of the
+    first occurrence; state per key is EXPIRED once the watermark
+    passes it — bounded memory at unbounded ingest. Duplicates farther
+    apart than the watermark are re-emitted (the deliberate trade vs
+    ``dedup_stream``); dedup of at-least-once sources (Kafka replays,
+    retried file commits) is exactly this shape.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
 
 
 def interval_join_stream(

@@ -107,3 +107,57 @@ def test_stream_dedup_across_batches(spark, tmp_path):
         q.stop()
     ids = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_stream_out").collect())
     assert ids == [1, 2, 3]  # event 2 appeared in both batches, emitted once
+
+
+def test_stream_dedup_bounded_expires_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: dupes near the first occurrence
+    collapse; after the watermark (advanced by OTHER keys) passes the
+    stored key's expiry, the same key is re-emitted — bounded state."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    ns_h = 3_600_000_000_000  # 1 hour in ns
+
+    def write(name, rows):  # rows: (event_id, hour)
+        pd.DataFrame(
+            {"event_id": [i for i, _ in rows], "ts": [h * ns_h for _, h in rows],
+             "user_id": [1] * len(rows), "event_type": ["a"] * len(rows),
+             "value": [1.0] * len(rows), "props": ["{}"] * len(rows)}
+        ).to_parquet(tmp_path / name)
+
+    import os
+    import time
+
+    write("b1.parquet", [(7, 1), (7, 2)])  # key 7 emitted once (t=2h dup dropped)
+    write("b2.parquet", [(8, 10)])         # other key advances the watermark to 8h
+    write("b3.parquet", [(8, 11)])         # eviction runs at batch end: key 7 purged here
+    write("b4.parquet", [(7, 20)])         # key 7 re-emitted after expiry
+    # the file source orders micro-batches by mod time; force b1<b2<b3<b4
+    now = time.time()
+    for i, f in enumerate(["b1.parquet", "b2.parquet", "b3.parquet", "b4.parquet"]):
+        os.utime(tmp_path / f, (now + i * 10, now + i * 10))
+    raw = (
+        spark.readStream.schema(sw.EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        sw.dedup_stream_bounded(raw, watermark="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_bounded_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = sorted(
+        (r.event_id, r.ts.hour)
+        for r in spark.sql("SELECT event_id, ts FROM dedup_bounded_out").collect()
+    )
+    assert (7, 1) in out and (8, 10) in out and (8, 11) not in out
+    assert (7, 2) not in out            # near-dup collapsed
+    assert (7, 20) in out               # re-emitted after state expiry
