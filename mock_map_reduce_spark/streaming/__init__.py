@@ -8,6 +8,7 @@ from mock_map_reduce_spark.streaming.windows import (
     interval_join_stream,
     run_to_memory,
     session_stream,
+    stream_to_parquet_exactly_once,
     sliding_stream,
     tumbling_stream,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "interval_join_stream",
     "run_to_memory",
     "session_stream",
+    "stream_to_parquet_exactly_once",
     "sliding_stream",
     "tumbling_stream",
 ]

@@ -198,3 +198,36 @@ def interval_join_stream(
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
     )
     return left.join(right, cond).select("user_id", "l_id", "r_id")
+
+
+def stream_to_parquet_exactly_once(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """foreachBatch + per-epoch dynamic partition overwrite: the
+    exactly-once file-sink recipe for targets the built-in append-only
+    file sink can't serve (upserts, dedup outputs, compaction).
+
+    Each micro-batch writes (mode=overwrite, dynamic partition
+    overwrite) into its own ``__epoch=<id>`` partition: a replayed
+    batch after failure overwrites ITS OWN partition and nothing else,
+    so restarts are idempotent — at-least-once execution + idempotent
+    write = exactly-once output. The checkpoint dir carries offsets so
+    a restarted query resumes, not restarts.
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        (
+            df.withColumn("__epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

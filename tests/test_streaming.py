@@ -161,3 +161,49 @@ def test_stream_dedup_bounded_expires_state(spark, tmp_path):
     assert (7, 1) in out and (8, 10) in out and (8, 11) not in out
     assert (7, 2) not in out            # near-dup collapsed
     assert (7, 20) in out               # re-emitted after state expiry
+
+
+def test_stream_to_parquet_exactly_once(spark, tmp_path):
+    """foreachBatch sink: per-epoch dynamic-overwrite partitions hold
+    exactly the input rows; a re-run of the same epoch write is
+    idempotent (overwrites its own partition, total unchanged)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    ns_h = 3_600_000_000_000
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, name in enumerate(["s1.parquet", "s2.parquet"]):
+        pd.DataFrame(
+            {"event_id": [i * 10 + 1, i * 10 + 2], "ts": [(i + 1) * ns_h] * 2,
+             "user_id": [1, 2], "event_type": ["a", "b"],
+             "value": [1.0, 2.0], "props": ["{}", "{}"]}
+        ).to_parquet(src / name)
+    raw = (
+        spark.readStream.schema(sw.EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = str(tmp_path / "sink")
+    q = sw.stream_to_parquet_exactly_once(
+        raw.select("event_id", "user_id"), out, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    written = spark.read.parquet(out)
+    assert sorted(r.event_id for r in written.collect()) == [1, 2, 11, 12]
+    assert written.select("__epoch").distinct().count() >= 2  # one partition per batch
+    # idempotent replay: rewriting epoch 0's batch changes nothing overall
+    b0 = written.filter("__epoch = 0").drop("__epoch")
+    (
+        b0.withColumn("__epoch", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(out)
+    )
+    assert sorted(r.event_id for r in spark.read.parquet(out).collect()) == [1, 2, 11, 12]
