@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from mock_map_reduce_spark.catalog.textops import _QUALITY_CTES
 from mock_map_reduce_spark.operators import curation as cu, text as tx
 from mock_map_reduce_spark.registry import query
 from mock_map_reduce_spark.sources import load_table
@@ -189,3 +190,67 @@ def q_curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.mixture_sample(
         docs, MIXTURE_RATES, default_rate=MIXTURE_DEFAULT
     ).select("doc_id", "source")
+
+
+# --- end-to-end curation pipeline ------------------------------------------
+# The daily 100 TB curation job as ONE declarative plan: exact dedup ->
+# per-language quality floor -> source-mixture reweighting -> rollup.
+# Every stage is an already-oracle-checked operator; this entry checks
+# their COMPOSITION (the place integration bugs live).
+
+
+@query(
+    "pipeline_curation_end_to_end",
+    oracle="""
+WITH surv AS (
+  SELECT doc_id, lang, source FROM documents
+  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+),
+{QUALITY},
+q AS (
+  SELECT doc_id,
+         round(least(mean_word_len / 8.0, 1.0) * 0.25
+               + least(stop_ratio * 4.0, 1.0) * 0.25
+               + alpha_ratio * 0.25
+               + distinct_ratio * 0.25, 6) AS quality_score
+  FROM ratios
+),
+j AS (SELECT s.doc_id, s.lang, s.source, q.quality_score FROM surv s JOIN q USING (doc_id)),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality_score, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM j
+),
+t AS (SELECT lang, quality_score AS thr FROM r WHERE rn = ((n - 1) * 25) // 100 + 1),
+floored AS (
+  SELECT j.* FROM j JOIN t USING (lang) WHERE j.quality_score >= t.thr
+),
+mixed AS (
+  SELECT * FROM floored
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < {MIX}
+)
+SELECT lang, source, count(*) AS n_docs,
+       CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_quality
+FROM mixed GROUP BY lang, source
+""".replace("{MIX}", _MIX_CASE).replace("{QUALITY}", _QUALITY_CTES.lstrip()),
+)
+def q_pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup -> quality floor (per-lang p25) -> mixture sample -> rollup,
+    composed from the catalog's own operators and oracle-checked as a
+    whole. Exact-decimal avg keeps the rollup order-independent."""
+    from mock_map_reduce_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    surv = dd.exact_dedup(docs).select("doc_id", "lang", "source")
+    scored = surv.join(
+        tx.quality_score(docs).select("doc_id", "quality_score"), "doc_id"
+    )
+    floored = cu.per_group_quantile_floor(scored, "lang", "quality_score", 25, 100)
+    mixed = cu.mixture_sample(floored, MIXTURE_RATES, default_rate=MIXTURE_DEFAULT)
+    return mixed.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_quality"),
+    )
