@@ -94,3 +94,18 @@ def test_orc_filter_pushdown(spark, sf_dir, tmp_path):
     write_orc(load_table(spark, sf_dir, "orders"), out)
     back = read_orc(spark, out).filter(F.col("o_orderkey") == 7).select("o_orderkey")
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,7)]" in executed_plan(back) or "o_orderkey" in executed_plan(back)
+
+
+def test_csv_malformed_rows_become_nulls_not_failures(spark, tmp_path):
+    """PERMISSIVE CSV contract: one corrupt line in a 100 TB crawl
+    shard must not kill the stage — it parses to nulls."""
+    from mock_map_reduce_spark.sources import read_csv
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,score\n1,10\n2,not_a_number\n3,30\n")
+    rows = {
+        r.id: r.score
+        for r in read_csv(spark, str(p), "id bigint, score bigint").collect()
+    }
+    assert rows[1] == 10 and rows[3] == 30
+    assert rows[2] is None  # malformed cell -> null, job survives
