@@ -81,7 +81,13 @@ def kmeans_lloyd(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce")
     )
     for _ in range(n_iter):
-        cents = _update(_assign(v, cents))
+        # Materialize the k×dim centroid frame each round (it's tiny):
+        # without the checkpoint each round's centroids NEST the whole
+        # prior round's lineage, so corpus scans grow geometrically
+        # with n_iter — same localCheckpoint-per-round shape as
+        # connected_components. Values are unchanged (it only pins
+        # already-deterministic results), so the oracle is unaffected.
+        cents = _update(_assign(v, cents)).localCheckpoint()
     final = _assign(v, cents)
     return final.select(
         F.col("vec_id").alias(id_col), "cell", F.round("cos", 6).alias("cosine")
