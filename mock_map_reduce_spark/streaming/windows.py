@@ -106,17 +106,33 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> No
 
     Memory sink; deterministic full result for tests. mode="append"
     for stateful operators (dropDuplicates) that forbid complete mode.
+
+    Shuffle partitions are pinned to the core count for the run:
+    streaming state stores are one per shuffle partition with NO AQE
+    coalescing, so a vanilla session's default of 200 means 200 state
+    store commits per micro-batch (~10x overhead on a 32-core box; a
+    real cluster sizes this to executor parallelism instead). The
+    partition count only affects placement, not results; the prior
+    value is restored after the stream stops.
     """
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    import os
+
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(os.cpu_count() or 8))
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def dedup_stream(
