@@ -17,6 +17,7 @@ from mock_map_reduce_spark.catalog import (  # noqa: F401
     dedup,
     flagship,
     sqlapi,
+    sqlapi2,
     stats,
     multimodal,
     relational,
