@@ -107,7 +107,7 @@ _sql(
     "sql_q8_market_share",
     f"""
 SELECT o_year,
-       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_12' THEN volume ELSE 0 END) AS DOUBLE)
             / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
 FROM (
   SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
@@ -399,4 +399,32 @@ LIMIT 100
     lineitem; argmax on s_acctbal instead of min ps_supplycost): a
     correlated scalar subquery carrying its OWN join tree, decorrelated
     by Catalyst into a per-part MAX aggregate joined back.""",
+)
+
+_sql(
+    "sql_q11_important_stock",
+    """
+WITH stock AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS val
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_12'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS stock_value
+FROM stock
+WHERE val > (SELECT SUM(val) * 0.0005 FROM stock)
+ORDER BY stock_value DESC, l_partkey
+""",
+    """TPC-H Q11 shape (adapted: no partsupp table — 'stock held by a
+    nation's suppliers' = lineitem shipped by them, value = exact
+    decimal extendedprice x quantity): the signature plan feature is
+    the SAME grouped aggregate consumed twice — once as the output
+    relation, once inside the uncorrelated scalar-subquery threshold —
+    which Spark serves via a reused subplan rather than two scans.
+    Decimal sums make the 0.0005 threshold comparison bit-stable in
+    both engines.  Completes the 22-query TPC-H shape sweep
+    (Q1=pricing_summary, catalog/relational.py).""",
 )

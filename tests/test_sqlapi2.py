@@ -95,3 +95,29 @@ def test_q18_semijoin_threshold(spark, sf_dir):
     rows = _q(spark, sf_dir, "sql_q18_large_volume_customer").collect()
     for r in rows:
         assert r.sum_qty > 250  # HAVING threshold survived the re-aggregation
+
+def test_q11_threshold_is_global_share(spark, sf_dir):
+    # Every surviving part's stock value must exceed 0.05% of the
+    # nation-filtered grand total, recomputed independently here.
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_12")
+    per_part = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_quantity").cast("decimal(18,2)")
+            ).alias("val")
+        )
+    )
+    total = float(per_part.agg(F.sum("val")).collect()[0][0])
+    rows = _q(spark, sf_dir, "sql_q11_important_stock").collect()
+    assert rows, "q11 must select rows at sf0.001"
+    cutoff = total * 0.0005
+    assert all(r.stock_value > cutoff for r in rows)
+    # and completeness: the query returns EVERY part above the cutoff
+    n_above = per_part.filter(F.col("val") > cutoff * 1.0000001).count()
+    assert len(rows) >= n_above
