@@ -211,6 +211,51 @@ def q_similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl.kmeans_lloyd(emb, k=KM_K, n_iter=KM_ITER)
 
 
+# --- deterministic kmeans++-style seeding (greedy k-center) -----------------
+
+KC_K = 6
+KC_POOL = "4"  # pool = vec ids whose md5 first hex nibble < '4' (~25%)
+
+
+def _kc_oracle() -> str:
+    cos = _cos("p.e", "c.ce")
+    parts = [
+        _V,
+        f"dims AS (SELECT unnest(range(1, {EMB_DIM + 1})) AS dim)",
+        f"""pool AS (SELECT vec_id, e FROM v
+  WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '{KC_POOL}')""",
+        "c0 AS (SELECT vec_id AS cid, e AS ce FROM pool"
+        " WHERE vec_id = (SELECT MIN(vec_id) FROM pool))",
+    ]
+    for j in range(KC_K - 1):
+        parts.append(
+            f"""b{j} AS (SELECT p.vec_id, MAX({cos}) AS best
+  FROM pool p CROSS JOIN c{j} c GROUP BY p.vec_id),
+n{j} AS (SELECT vec_id FROM b{j} ORDER BY best ASC, vec_id ASC LIMIT 1),
+c{j + 1} AS (SELECT cid, ce FROM c{j}
+  UNION ALL SELECT p.vec_id, p.e FROM pool p JOIN n{j} USING (vec_id))"""
+        )
+    parts.append(_km_assign_cte("afinal", f"c{KC_K - 1}", with_cos=True))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT vec_id, cell, round(cos, 6) AS cosine FROM afinal"
+    )
+
+
+@query("similarity_kmeans_pp", oracle=_kc_oracle())
+def q_similarity_kmeans_pp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center seeding (deterministic kmeans++ analogue) over a
+    25% md5-prefix candidate pool, then one full-corpus assignment —
+    the ENTIRE farthest-point selection loop is unrolled into the
+    DuckDB oracle's CTE chain, so seed choice itself is value-checked.
+    Unlike similarity_kmeans's low-id seeds, these seeds are spread by
+    construction (each maximizes distance to the chosen set)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = cl.kcenter_init(emb, k=KC_K, pool_prefix_lt=KC_POOL)
+    return cl.kmeans_lloyd(emb, k=KC_K, n_iter=0, init=cents)
+
+
 # --- int8 quantization audit ------------------------------------------------
 
 _ABSMAX = "list_reduce(list_transform({a}, x -> abs(x)), (x, y) -> greatest(x, y))"

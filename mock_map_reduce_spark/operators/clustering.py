@@ -63,22 +63,88 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
+def kcenter_init(
+    emb: DataFrame,
+    k: int = 6,
+    pool_prefix_lt: str = "4",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic kmeans++-style seeding: greedy k-center (maximin)
+    over a hash-sampled candidate pool. Returns (cid, ce) with cid =
+    the chosen vector's original id.
+
+    Classic kmeans++ draws each next seed with probability ∝ D(x)²
+    (random); the deterministic analogue is the farthest-point
+    traversal: start from the pool's lowest id, then repeatedly take
+    the pool vector LEAST similar to the already-chosen set (lowest
+    max-cosine, ties to the lower id). Same spread-out-seeds effect,
+    zero RNG — so the whole selection is oracle-checkable.
+
+    Scale (100 TB of vectors): the candidate pool is a deterministic
+    md5-prefix sample (same trick as operators/curation.hash_sample)
+    whose predicate rides the scan — the k selection rounds touch the
+    pool only, not the corpus. Each round broadcasts ≤k centroids,
+    computes per-vector best-cosine with a map-side partial MAX, and
+    reduces to ONE row via a single min-struct aggregate; nothing is
+    ever sorted and no round shuffles more than the pool's partial-agg
+    rows. Driver holds only the loop counter (the argmin pick stays a
+    DataFrame, never a collect).
+    """
+    v = emb.select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("e"))
+    pool = v.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < pool_prefix_lt
+    )
+    first = pool.agg(F.min("vec_id").alias("vec_id"))
+    cents = (
+        pool.join(first, "vec_id")
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+        .localCheckpoint()
+    )
+    for _ in range(k - 1):
+        best = (
+            pool.crossJoin(F.broadcast(cents))
+            .withColumn("cos", cosine(F.col("e"), F.col("ce")))
+            .groupBy("vec_id")
+            .agg(F.max("cos").alias("best"))
+        )
+        pick = (
+            best.agg(F.min(F.struct("best", "vec_id")).alias("s"))
+            .select(F.col("s.vec_id").alias("vec_id"))
+        )
+        nxt = pool.join(pick, "vec_id").select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+        )
+        # localCheckpoint per round, same lineage-pinning rationale as
+        # kmeans_lloyd below; values unchanged.
+        cents = cents.unionByName(nxt).localCheckpoint()
+    return cents
+
+
 def kmeans_lloyd(
     emb: DataFrame,
     k: int = 8,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Run ``n_iter`` Lloyd rounds; return the final assignment
     (vec_id, cell, cosine) of every vector to its nearest centroid.
+
+    ``init`` overrides the default low-id seeding with a caller-built
+    (cid, ce) centroid frame (e.g. ``kcenter_init``'s spread seeds).
 
     A cell that loses all members simply drops out (no re-seeding) —
     deterministic and mirrored by the SQL oracle's inner joins.
     """
     v = emb.select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("e"))
-    cents = v.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    cents = (
+        init
+        if init is not None
+        else v.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+        )
     )
     for _ in range(n_iter):
         # Materialize the k×dim centroid frame each round (it's tiny):

@@ -40,3 +40,29 @@ def test_kmeans_zero_iter_is_seed_assignment(planted):
     out = {r.vec_id: r for r in cl.kmeans_lloyd(planted, k=2, n_iter=0).collect()}
     assert out[0].cell == 0 and out[1].cell == 1
     assert out[0].cosine == 1.0 and out[1].cosine == 1.0
+
+
+def test_kcenter_init_picks_spread_seeds(planted):
+    # pool_prefix_lt='g' keeps every hex prefix -> pool = all vectors.
+    cents = cl.kcenter_init(planted, k=2, pool_prefix_lt="g").collect()
+    ids = sorted(r.cid for r in cents)
+    # First seed = lowest id (0, x-cluster); farthest-point second seed
+    # must come from the z-cluster -- v1 has the lowest max-cosine to v0.
+    assert ids == [0, 1]
+
+
+def test_kcenter_seeded_lloyd_separates_planted(planted):
+    cents = cl.kcenter_init(planted, k=2, pool_prefix_lt="g")
+    out = {
+        r.vec_id: r.cell
+        for r in cl.kmeans_lloyd(planted, k=2, n_iter=1, init=cents).collect()
+    }
+    assert out[0] == out[2] == out[3]
+    assert out[1] == out[4] == out[5]
+    assert out[0] != out[1]
+
+
+def test_kcenter_deterministic_rerun(planted):
+    a = sorted(tuple(r) for r in cl.kcenter_init(planted, k=3, pool_prefix_lt="g").collect())
+    b = sorted(tuple(r) for r in cl.kcenter_init(planted, k=3, pool_prefix_lt="g").collect())
+    assert a == b
