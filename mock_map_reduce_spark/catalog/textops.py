@@ -161,6 +161,42 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tfidf_by_language",
+    oracle=f"""
+WITH {_TOKS},
+scores AS (
+  SELECT doc_id,
+         {_LANG_SCORES}
+  FROM toks
+),
+langs AS (
+  SELECT doc_id,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+              WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+              WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+              WHEN s_en >= s_de THEN 'en'
+              ELSE 'de' END AS lang_pred
+  FROM scores
+),
+words AS (SELECT doc_id, unnest(w) AS word FROM toks),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+tfl AS (SELECT t.doc_id, l.lang_pred, t.word, t.tf FROM tf t JOIN langs l USING (doc_id)),
+df AS (SELECT lang_pred, word, count(*) AS df FROM tfl GROUP BY 1, 2),
+n AS (SELECT lang_pred, count(DISTINCT doc_id) AS n_docs FROM tfl GROUP BY 1)
+SELECT doc_id, lang_pred, word, tf, df,
+       round(tf * (ln((n_docs + 1.0) / (df + 1)) + 1.0), 6) AS tfidf
+FROM tfl JOIN df USING (lang_pred, word) JOIN n USING (lang_pred)
+""",
+)
+def q_text_tfidf_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF against the doc's own language sub-corpus (df and doc
+    counts per predicted language). The (lang, word) dimension side is
+    vocabulary-sized and broadcast; see operators.text.tf_idf_by_language.
+    """
+    return tx.tf_idf_by_language(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "text_repetition",
     oracle="""
 WITH toks AS (

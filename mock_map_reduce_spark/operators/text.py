@@ -222,6 +222,49 @@ def tf_idf(
     )
 
 
+def tf_idf_by_language(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, lang_pred, word, tf, df, tfidf) — TF-IDF with per-language
+    document frequencies.
+
+    Corpus-level IDF underweights terms that are common only within
+    one language's sub-corpus; a multilingual training pipeline wants
+    df computed against the documents that share the doc's predicted
+    language. Plan shape: one tf aggregation over the corpus, one
+    doc_id-keyed join to attach lang_pred, then a (lang, word)
+    aggregation whose result is vocabulary×languages sized — small,
+    so it (and the per-language doc counts) broadcast back onto the
+    tf table. The corpus-scale side shuffles twice (tf groupBy, lang
+    join) and never again.
+    """
+    langs = language_id(docs, text_col, id_col).select(id_col, "lang_pred")
+    words = spread(docs.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(_word_tokens(text_col)).alias("word")
+    )
+    tf = words.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    tfl = tf.join(langs, id_col)
+    df = tfl.groupBy("lang_pred", "word").agg(F.count("*").alias("df"))
+    # Count docs from tfl, not langs: a token-less doc gets lang 'und'
+    # but contributes no terms, so it must not inflate the 'und' corpus.
+    n_docs = tfl.groupBy("lang_pred").agg(F.countDistinct(id_col).alias("n_docs"))
+    dim = df.join(n_docs, "lang_pred")
+    return tfl.join(F.broadcast(dim), ["lang_pred", "word"]).select(
+        id_col,
+        "lang_pred",
+        "word",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf").cast("double")
+            * (F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)) + 1.0),
+            6,
+        ).alias("tfidf"),
+    )
+
+
 def repetition_ratio(
     docs_in: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -116,10 +116,13 @@ def test_lsh_group_pair_generation_plan(spark, sf_dir):
 #   text_tfidf:                 vocabulary-sized df table broadcast back
 #   range_join_banded:          5-row literal bands dimension
 #   similarity_kmeans:          8 broadcast centroids × corpus per round
+#   similarity_kmeans_pp:       ≤k broadcast seeds × hash-sampled pool
+#                               per k-center round
 _BOUNDED_BNLJ = {
     "similarity_topk_bruteforce",
     "similarity_ann_ivf",
     "similarity_kmeans",
+    "similarity_kmeans_pp",
     "text_tfidf",
     "range_join_banded",
 }

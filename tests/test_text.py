@@ -118,3 +118,27 @@ def test_scrub_pii_planted(spark):
     )
     out = tx.scrub_pii(df).collect()[0].clean_text
     assert out == "mail <EMAIL> call <PHONE> card <NUM> ok 123"
+
+
+def test_tfidf_by_language_partitions_df_by_lang(spark):
+    # Same word "de" in both sub-corpora; df must be computed within
+    # each language, not corpus-wide.
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat and the dog"),
+            Row(doc_id=2, text="the red cat"),
+            Row(doc_id=3, text="el gato y la casa de que"),
+            Row(doc_id=4, text="la casa de el perro que en los"),
+        ]
+    )
+    rows = tx.tf_idf_by_language(df).collect()
+    by = {(r.doc_id, r.word): r for r in rows}
+    # "cat" appears in both en docs -> df=2, n_docs(en)=2
+    r = by[(1, "cat")]
+    assert (r.lang_pred, r.tf, r.df) == ("en", 1, 2)
+    assert r.tfidf == round(1 * (math.log((2 + 1) / (2 + 1)) + 1.0), 6)
+    # "casa" df=2 within es only; en corpus never sees it
+    assert by[(3, "casa")].df == 2 and by[(3, "casa")].lang_pred == "es"
+    assert (2, "casa") not in by
+    # each doc's words all carry its own language
+    assert {r.lang_pred for r in rows if r.doc_id == 4} == {"es"}
