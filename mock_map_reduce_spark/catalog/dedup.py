@@ -231,12 +231,49 @@ def q_dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_candidate_pairs(docs, BANDS, use_md5=True)
 
 
-@query("dedup_clusters")  # iterative label propagation -> not single-statement SQL
+@query(
+    "dedup_clusters",
+    oracle=f"""
+WITH {_TOKS},
+{_GRAMS},
+{_SIGS},
+{_BANDS},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sym AS (SELECT id_a AS s, id_b AS t FROM cand UNION SELECT id_b, id_a FROM cand),
+reach AS (
+  WITH RECURSIVE r(s, t) AS (
+    SELECT s, t FROM sym
+    UNION
+    SELECT r.s, e.t FROM r JOIN sym e ON r.t = e.s
+  ) SELECT * FROM r
+),
+comp AS (
+  SELECT doc_id, least(doc_id, coalesce(min(t), doc_id)) AS component
+  FROM documents LEFT JOIN reach ON doc_id = s
+  GROUP BY doc_id
+),
+sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+SELECT doc_id, component, cluster_size
+FROM comp JOIN sizes USING (component)
+WHERE cluster_size > 1
+""",
+)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: LSH candidates -> connected components.
 
     Returns only docs whose component differs from themselves or that
     head a multi-doc cluster (i.e., docs involved in duplication).
+
+    Oracle: the md5-chunk LSH candidate edges are re-derived in SQL
+    (same fragments as ``dedup_lsh_candidates``) and the iterative
+    label propagation is checked against a recursive transitive-closure
+    CTE — component = smallest reachable doc_id, so the fixpoint and
+    the SQL closure must agree exactly (same strategy that already
+    oracle-checks ``dedup_fuzzy_survivors``).
     """
     docs = load_table(spark, sf_dir, "documents")
     edges = dd.lsh_candidate_pairs(docs, NUM_HASHES, BANDS, NGRAM, use_md5=True)

@@ -72,3 +72,112 @@ def q_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.groupBy("c_mktsegment").applyInPandas(
         per_segment, "c_custkey long, c_mktsegment string, z double"
     )
+
+
+# --- mergeable aggregation state (two-level partial -> merge) --------------
+
+_PARTIAL_MERGE_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sm,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sq
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND(sm / n, 2) AS mean_price,
+       ROUND((sq - sm * sm / n) / n, 2) AS var_pop
+FROM s
+"""
+
+
+@query("agg_partial_merge_variance", oracle=_PARTIAL_MERGE_ORACLE)
+def q_agg_partial_merge_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregation through an explicit MERGEABLE state:
+    (n, Σx, Σx²) per (group, shard), then merged across shards —
+    checked against the oracle's direct one-level aggregation.
+
+    This is the re-aggregatable-summary pattern 100 TB pipelines live
+    on: daily/per-file partial states are tiny, exactly mergeable
+    (decimal sums are associative — no float drift), and the final
+    variance/mean is a pure function of the merged state. The shard
+    key is pmod(l_orderkey, 16), so the first level also demonstrates
+    that ANY partitioning of the input yields the same final answer.
+    """
+    from pyspark.sql import functions as F
+
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    li = load_table(spark, sf_dir, "lineitem")
+    partials = (
+        li.groupBy("l_returnflag", F.pmod("l_orderkey", F.lit(16)).alias("shard"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec).alias("sm_d"),
+            F.sum(dec * dec).alias("sq_d"),
+        )
+    )
+    merged = partials.groupBy("l_returnflag").agg(
+        F.sum("n").alias("n"),
+        F.sum("sm_d").cast("double").alias("sm"),
+        F.sum("sq_d").cast("double").alias("sq"),
+    )
+    n, sm, sq = F.col("n"), F.col("sm"), F.col("sq")
+    return merged.select(
+        "l_returnflag",
+        "n",
+        F.round(sm / n, 2).alias("mean_price"),
+        F.round((sq - sm * sm / n) / n, 2).alias("var_pop"),
+    )
+
+
+# --- Z-order (Morton) layout clustering ------------------------------------
+
+_Z_BITS = 12
+_Z_BUCKET_SHIFT = 14
+
+
+def _zorder_oracle() -> str:
+    from mock_map_reduce_spark.operators.layout import zorder_sql
+
+    z = zorder_sql("x", "y", _Z_BITS)
+    return f"""
+WITH d AS (
+  SELECT o_orderkey,
+         o_custkey % 4096 AS x,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 4096 AS y
+  FROM orders
+)
+SELECT o_orderkey, {z} AS z, CAST({z} >> {_Z_BUCKET_SHIFT} AS BIGINT) AS zbucket
+FROM d
+"""
+
+
+@query("layout_zorder_orders", oracle=_zorder_oracle())
+def q_layout_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order-day).
+
+    Bit-interleaving both keys gives ONE physical sort order under
+    which min/max zone maps stay tight for range predicates on EITHER
+    column — the lakehouse layout trick for 100 TB fact tables whose
+    queries filter by tenant AND by date. `zbucket = z >> 14` is the
+    range-partition a writer would split files on. Pure shift/mask
+    column arithmetic (operators/layout.py) — whole-stage codegen, no
+    UDF, and the oracle re-derives the interleave from the same
+    generator.
+    """
+    from pyspark.sql import functions as F
+
+    from mock_map_reduce_spark.operators.layout import zorder_layout
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        "o_orderkey",
+        F.pmod("o_custkey", F.lit(4096)).alias("x"),
+        F.pmod(
+            F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1992-01-01"))),
+            F.lit(4096),
+        ).alias("y"),
+    )
+    return zorder_layout(d, F.col("x"), F.col("y"), id_col="o_orderkey",
+                         bits=_Z_BITS, bucket_shift=_Z_BUCKET_SHIFT)

@@ -161,10 +161,10 @@ _sql(
     "sql_q12_priority_lines",
     """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders
 JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -173,7 +173,11 @@ GROUP BY l_linestatus
 ORDER BY l_linestatus
 """,
     """TPC-H Q12 shape (adapted: l_linestatus stands in for the absent
-    l_shipmode): conditional counts split one pass over the join.""",
+    l_shipmode): conditional counts split one pass over the join.
+    The conditional sums are CAST to BIGINT because DuckDB widens
+    SUM(INTEGER) to HUGEINT (int128), which driver-side Arrow/pandas
+    materialization renders as float64 — hash-diverging from Spark's
+    bigint even when the values are identical.""",
 )
 
 _sql(

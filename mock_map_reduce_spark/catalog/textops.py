@@ -290,3 +290,38 @@ def q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return tx.scrub_pii(planted)
+
+
+@query(
+    "text_rank_surprisal",
+    oracle="""
+WITH tokocc AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tokocc GROUP BY 1, 2),
+vc AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY tok),
+hist AS (SELECT c, count(*) AS nt FROM vc GROUP BY c),
+ranks AS (
+  SELECT c, CAST(1 + COALESCE(SUM(nt) OVER (ORDER BY c DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rnk
+  FROM hist
+),
+tr AS (SELECT tok, rnk FROM vc JOIN ranks USING (c))
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_toks,
+       CAST(SUM(tf * rnk) AS BIGINT) AS rank_sum,
+       MAX(rnk) AS rarest_rank,
+       ROUND(CAST(SUM(tf * rnk) AS DOUBLE) / CAST(SUM(tf) AS BIGINT), 4) AS mean_rank
+FROM tf JOIN tr USING (tok)
+GROUP BY doc_id
+""",
+)
+def q_text_rank_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM scoring proxy: per-doc corpus-frequency-rank
+    surprisal (see operators/text.rank_surprisal). Competition ranks
+    come from a cumulative window over the tiny count histogram —
+    never a global vocabulary sort — and stay in exact integers, so
+    the LM-ish quality signal is oracle-checkable bit-for-bit."""
+    return tx.rank_surprisal(load_table(spark, sf_dir, "documents"))

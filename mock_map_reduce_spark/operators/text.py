@@ -322,3 +322,57 @@ def scrub_pii(
     c = F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
     c = F.regexp_replace(c, PII_LONG_NUM_RE, "<NUM>")
     return docs_in.select(F.col(id_col), c.alias("clean_text"))
+
+
+def rank_surprisal(
+    docs_in: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-frequency-rank surprisal per doc — an LM-scoring proxy
+    with exact integer arithmetic: (id, n_toks, rank_sum, rarest_rank,
+    mean_rank).
+
+    A token's rank is its competition rank by corpus occurrence count
+    (most frequent = 1; ties share the smallest rank), computed WITHOUT
+    a global vocabulary sort: the count histogram (distinct count
+    values — thousands of rows at any corpus size) gets a cumulative
+    window, and each vocab entry joins its count to the histogram.
+    Docs dominated by rare tokens (high mean/rarest rank) read as
+    high-surprisal under a unigram LM; ranks sidestep float log-probs,
+    so the score is engine-exact and oracle-checkable.
+
+    100 TB shape: one corpus-token agg (vocab-sized), one tiny
+    histogram broadcast back onto the vocab, one vocab-sized broadcast
+    join onto per-doc term counts — the corpus rows shuffle once, on
+    (doc, token).
+    """
+    from pyspark.sql.window import Window
+
+    toks = spread(docs_in.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(_word_tokens(text_col)).alias("tok")
+    )
+    # per-doc term counts first: the corpus-sized shuffle happens once
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    vc = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    hist = vc.groupBy("c").agg(F.count("*").alias("nt"))
+    # competition rank start per count value: 1 + #tokens with a
+    # strictly larger count. The histogram is tiny, so the global
+    # window is O(distinct counts), never O(vocab).
+    w = Window.orderBy(F.col("c").desc()).rowsBetween(Window.unboundedPreceding, -1)
+    ranks = hist.select("c", (F.lit(1) + F.coalesce(F.sum("nt").over(w), F.lit(0))).alias("rnk"))
+    tok_rank = vc.join(F.broadcast(ranks), "c").select("tok", "rnk")
+    return (
+        tf.join(tok_rank, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_toks"),
+            F.sum(F.col("tf") * F.col("rnk")).alias("rank_sum"),
+            F.max("rnk").alias("rarest_rank"),
+        )
+        .select(
+            id_col,
+            "n_toks",
+            "rank_sum",
+            "rarest_rank",
+            F.round(F.col("rank_sum").cast("double") / F.col("n_toks"), 4).alias("mean_rank"),
+        )
+    )

@@ -76,15 +76,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file; with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as a long.
-        # Truncate nanos -> micros (same truncation DuckDB's
-        # CAST(ts_ns AS TIMESTAMP) performs) for a real TimestampType.
+        # Normalize ts to a real UTC TimestampType whatever the file
+        # encodes — the generator has shipped BOTH of these:
+        #   * TIMESTAMP(NANOS): with nanosAsLong it arrives as a long;
+        #     truncate nanos -> micros (the truncation DuckDB's
+        #     CAST(ts_ns AS TIMESTAMP) performs).
+        #   * timestamp[us] isAdjustedToUTC=false: Spark 4 infers
+        #     TIMESTAMP_NTZ, which unix_micros()/watermarks reject;
+        #     with the session zone pinned to UTC (above), a plain cast
+        #     reinterprets the same wall-clock instant losslessly.
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

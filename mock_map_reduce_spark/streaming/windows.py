@@ -19,13 +19,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-# Explicit schema: a streaming source cannot infer. ts arrives as
-# nanosecond longs (spark.sql.legacy.parquet.nanosAsLong, see
-# sources/tables.py) and is truncated to a real timestamp here.
-EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+# Explicit schema: a streaming source cannot infer. The ts wire type
+# depends on how the generator wrote the file (TIMESTAMP(NANOS) reads
+# as long under nanosAsLong; timestamp[us] isAdjustedToUTC=false reads
+# as TIMESTAMP_NTZ), so the schema is chosen per-file by probing the
+# footer with a batch read — see read_events_stream.
+_EVENTS_SCHEMA_FMT = (
+    "event_id long, ts {ts_type}, user_id long, event_type string, "
     "value double, props string"
 )
+
+# The long-typed variant, for callers streaming raw nanosecond-long
+# files they wrote themselves (tests do; they convert ts explicitly).
+EVENTS_SCHEMA = _EVENTS_SCHEMA_FMT.format(ts_type="long")
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -35,15 +41,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TIMESTAMP(NANOS) columns on a vanilla session; set the runtime
     # confs here so a driver-built session works too.
     ensure_session_confs(spark)
+    # Probe the footer (batch read is lazy — no data scan) so the
+    # stream schema matches the file's actual ts encoding; declaring
+    # `long` against a micros file would silently reinterpret
+    # microseconds as nanoseconds and collapse every event into 1970.
+    probed = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType.simpleString()
     # The file stream source requires a directory basePath; select the
     # events file out of the shared sf_dir with a glob filter.
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_EVENTS_SCHEMA_FMT.format(ts_type=probed))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if probed == "bigint":  # TIMESTAMP(NANOS) -> truncate to micros
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if probed == "timestamp_ntz":  # UTC session zone: lossless reinterpret
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_stream(

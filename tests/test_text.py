@@ -142,3 +142,31 @@ def test_tfidf_by_language_partitions_df_by_lang(spark):
     assert (2, "casa") not in by
     # each doc's words all carry its own language
     assert {r.lang_pred for r in rows if r.doc_id == 4} == {"es"}
+
+
+def test_rank_surprisal_matches_python_model(spark):
+    from collections import Counter
+
+    import re as _re
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the the the zzz"),
+        (3, "cat mat unique words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_toks, r.rank_sum, r.rarest_rank) for r in tx.rank_surprisal(df).collect()}
+
+    toks = {i: [t for t in _re.split(r"[^a-z]+", s.lower()) if t] for i, s in rows}
+    corpus = Counter(t for ts in toks.values() for t in ts)
+    # competition rank: 1 + #tokens with strictly larger count
+    rank = {
+        t: 1 + sum(1 for u, cu in corpus.items() if cu > c)
+        for t, c in corpus.items()
+    }
+    for i, ts in toks.items():
+        assert got[i] == (
+            len(ts),
+            sum(rank[t] for t in ts),
+            max(rank[t] for t in ts),
+        ), i

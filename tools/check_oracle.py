@@ -121,8 +121,14 @@ def main() -> int:
             problems.append(f"schema spark={sorted(cols)} duck={sorted(ocols)}")
         else:
             # logical type alignment (DuckDB type -> Spark dtype)
+            # HUGEINT deliberately has no Spark twin: DuckDB widens
+            # SUM(INTEGER) to int128, which driver-side pandas/Arrow
+            # materialization renders as float64 and hash-diverges from
+            # Spark's bigint (r3 sql_q12 failure). Oracles must CAST
+            # integer sums to BIGINT.
             type_map = {
-                "BIGINT": "bigint", "HUGEINT": "bigint", "INTEGER": "int",
+                "BIGINT": "bigint", "HUGEINT": "hugeint (CAST oracle SUM to BIGINT)",
+                "INTEGER": "int",
                 "DOUBLE": "double", "VARCHAR": "string", "FLOAT": "float",
                 "BOOLEAN": "boolean",
             }
