@@ -399,3 +399,29 @@ def q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") < BENCH_MAX_ID)
     corpus = docs.filter(F.col("doc_id") >= BENCH_MAX_ID)
     return dd.benchmark_contamination(corpus, bench, n=CONTAM_NGRAM)
+
+
+@query(
+    "dedup_incremental_candidates",
+    oracle=f"""
+WITH {_TOKS},
+{_GRAMS},
+{_SIGS},
+{_BANDS}
+SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+""",
+)
+def q_dedup_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-index) LSH dedup: odd doc_ids play the
+    newly-ingested batch, even doc_ids the existing corpus index. Only
+    cross-set band collisions are emitted — the index never re-pairs
+    against itself (operators/dedup.incremental_lsh_candidates; the
+    oracle re-derives the same cross-set join over the md5 band
+    buckets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    index = docs.filter(F.col("doc_id") % 2 == 0)
+    return dd.incremental_lsh_candidates(batch, index, NUM_HASHES, BANDS, NGRAM, use_md5=True)

@@ -559,3 +559,40 @@ def benchmark_contamination(
         )
         .select(id_col, "n_shared_grams", "n_grams", "overlap_ratio")
     )
+
+
+def incremental_lsh_candidates(
+    batch: DataFrame,
+    index: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_md5: bool = True,
+) -> DataFrame:
+    """(id_new, id_old) near-dup candidates between a NEW batch and an
+    EXISTING corpus — the daily-ingest dedup pattern.
+
+    Only batch x index band collisions are generated; the index is
+    never re-paired against itself. At 100 TB the index side's band
+    buckets are a PRECOMPUTED stored table (write
+    ``lsh_band_buckets(minhash_signatures(index))`` partitioned by
+    (band_idx, bucket) once); each day's batch — typically orders of
+    magnitude smaller — hashes, bands, and joins into it, so
+    incremental dedup costs O(batch + matched buckets), not
+    O(corpus²) or even O(corpus).
+    """
+    sb = minhash_signatures(batch, num_hashes, n, text_col, id_col, use_md5)
+    si = minhash_signatures(index, num_hashes, n, text_col, id_col, use_md5)
+    bb = lsh_band_buckets(sb, num_hashes, bands, id_col).select(
+        F.col(id_col).alias("id_new"), "band_idx", "bucket"
+    )
+    bi = lsh_band_buckets(si, num_hashes, bands, id_col).select(
+        F.col(id_col).alias("id_old"), "band_idx", "bucket"
+    )
+    return (
+        bb.join(bi, ["band_idx", "bucket"])
+        .select("id_new", "id_old")
+        .distinct()
+    )

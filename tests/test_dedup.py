@@ -186,3 +186,21 @@ def test_simhash_md5_path_matches_planted_behavior(spark):
         for r in dd.simhash_candidate_pairs(df, use_md5=True).collect()
     }
     assert (1, 2) in pairs
+
+
+def test_incremental_candidates_cross_set_only(docs):
+    # batch = odd ids {1, 3, 5}, index = even ids {2, 4}
+    batch = docs.filter("doc_id % 2 = 1")
+    index = docs.filter("doc_id % 2 = 0")
+    # 8 bands x 2 rows, same as test_lsh_finds_planted_near_dups:
+    # detection ~0.999 at the near-dup's jaccard 0.75
+    pairs = {
+        (r.id_new, r.id_old)
+        for r in dd.incremental_lsh_candidates(batch, index, bands=8).collect()
+    }
+    # planted: 1 and 3 are (near-)dups of 2; 2 itself is in the index
+    assert (1, 2) in pairs and (3, 2) in pairs
+    # no index-side id ever appears as id_new, no batch-side as id_old
+    assert all(n % 2 == 1 and o % 2 == 0 for n, o in pairs)
+    # unrelated doc 4 collides with nothing
+    assert not any(o == 4 for _, o in pairs)
