@@ -283,3 +283,47 @@ def q_similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential fold (floor(x+0.5) sidesteps engine round-half rules)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.quantize_int8_stats(emb)
+
+
+# --- product quantization (fully oracle-checked) ----------------------------
+
+PQ_M = 4          # subspaces
+PQ_K = 8          # codewords per subspace (seed vectors vec_id < 8)
+_PQ_SUB = EMB_DIM // PQ_M
+
+_SQD = ("list_reduce(list_transform(range(1, len({a})+1), "
+        "i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])), (x, y) -> x + y)")
+
+_PQ_SUBS = "sub AS (\n" + "\n  UNION ALL\n".join(
+    f"  SELECT vec_id, {s} AS subspace, "
+    f"list_slice(e, {s * _PQ_SUB + 1}, {(s + 1) * _PQ_SUB}) AS sv FROM v"
+    for s in range(PQ_M)
+) + "\n)"
+
+
+@query(
+    "similarity_pq_codes",
+    oracle=f"""
+WITH {_V},
+{_PQ_SUBS},
+cb AS (SELECT vec_id AS code_id, subspace, sv AS cv FROM sub WHERE vec_id < {PQ_K}),
+scored AS (
+  SELECT s.vec_id, s.subspace, cb.code_id, {_SQD.format(a="s.sv", b="cb.cv")} AS d
+  FROM sub s JOIN cb USING (subspace)
+)
+SELECT vec_id, subspace, code, sqdist FROM (
+  SELECT vec_id, subspace, code_id AS code, round(d, 6) AS sqdist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY d, code_id) AS rn
+  FROM scored
+) WHERE rn = 1
+""",
+)
+def q_similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization, fully oracle-checked: 64-dim vectors ->
+    4 subspaces x 8 seed-vector codewords, argmin-L2 assignment
+    (operators/similarity.pq_codes). Completes the embedding
+    compression family (int8 scalar quantization, IVF coarse cells,
+    PQ fine codes) — sqdist folds are sequential in both engines, so
+    codes AND distances hash-match bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.pq_codes(emb, dim=EMB_DIM, m=PQ_M, k=PQ_K)

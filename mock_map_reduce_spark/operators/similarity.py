@@ -392,3 +392,63 @@ def quantize_int8_stats(
         q_l1.alias("q_l1"),
         mse.alias("recon_mse"),
     )
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a sequential left-to-right fold —
+    deterministic and bit-identical to the DuckDB list_reduce twin."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codes(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization audit: (id, subspace, code, sqdist).
+
+    Each vector splits into ``m`` contiguous subvectors; subspace
+    codebooks are the matching subvectors of the ``k`` seed vectors
+    (id < k — deterministic, like the IVF coarse quantizer), and every
+    subvector is assigned its argmin-L2 codeword (ties to the smallest
+    code id). A 64-dim float vector compresses to m log2(k)-bit codes
+    — 256 bytes -> 12 bits at (m=4, k=8).
+
+    100 TB shape: the codebook is k*m tiny rows broadcast everywhere;
+    vectors explode into m subvector rows map-side, score against the
+    broadcast codebook riding the scan, and one per-(vector, subspace)
+    window picks the argmin. The corpus shuffles once, already reduced
+    to (id, subspace) granularity. A trained (k-means) codebook drops
+    in by swapping the seed-vector source; assignment is unchanged.
+    """
+    if dim % m:
+        raise ValueError("dim must divide evenly into m subspaces")
+    sub = dim // m
+    v = spread(vectors.select(F.col(id_col), as_double_array(vec_col).alias("e")))
+    slices = F.array(*[F.slice(F.col("e"), s * sub + 1, sub) for s in range(m)])
+    subs = v.select(F.col(id_col), F.posexplode(slices).alias("subspace", "sv"))
+    cb = (
+        v.filter(F.col(id_col) < k)
+        .select(F.col(id_col).alias("code_id"), F.posexplode(slices).alias("subspace", "cv"))
+    )
+    scored = subs.join(F.broadcast(cb), "subspace").select(
+        id_col, "subspace", "code_id", sqdist(F.col("sv"), F.col("cv")).alias("d")
+    )
+    w = Window.partitionBy(id_col, "subspace").orderBy(F.asc("d"), F.asc("code_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("subspace"),
+            F.col("code_id").alias("code"),
+            F.round("d", 6).alias("sqdist"),
+        )
+    )

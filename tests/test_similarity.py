@@ -121,3 +121,19 @@ def test_embedding_near_dup_lsh_planted(vectors):
     for c in (0, 2):
         cluster = {(a, b) for a in range(c * 4, c * 4 + 4) for b in range(a + 1, c * 4 + 4)}
         assert cluster <= got
+
+
+def test_pq_seed_vectors_code_themselves(spark, sf_dir):
+    from mock_map_reduce_spark.operators import similarity as sim
+    from mock_map_reduce_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.pq_codes(emb, dim=64, m=4, k=8)
+    rows = out.filter("vec_id < 8").collect()
+    # every seed vector's nearest codeword in every subspace is itself
+    assert len(rows) == 8 * 4
+    assert all(r.code == r.vec_id and r.sqdist == 0.0 for r in rows)
+    # every vector gets exactly one code per subspace, codes in [0, 8)
+    n = emb.count()
+    assert out.count() == n * 4
+    assert out.filter("code < 0 OR code >= 8").count() == 0
