@@ -327,3 +327,50 @@ def q_similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes AND distances hash-match bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.pq_codes(emb, dim=EMB_DIM, m=PQ_M, k=PQ_K)
+
+
+@query(
+    "similarity_pq_adc_topk",
+    oracle=f"""
+WITH {_V},
+{_PQ_SUBS},
+cb AS (SELECT vec_id AS code_id, subspace, sv AS cv FROM sub WHERE vec_id < {PQ_K}),
+codes AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT s.vec_id, s.subspace, cb.code_id AS code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.subspace
+                              ORDER BY {_SQD.format(a="s.sv", b="cb.cv")}, cb.code_id) AS rn
+    FROM sub s JOIN cb USING (subspace)
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, q.subspace, cb.code_id,
+         {_SQD.format(a="q.sv", b="cb.cv")} AS d
+  FROM sub q JOIN cb USING (subspace)
+  WHERE q.vec_id < {N_QUERIES}
+),
+hits AS (
+  SELECT lut.query_id, codes.vec_id, codes.subspace AS s, lut.d
+  FROM codes JOIN lut ON codes.subspace = lut.subspace AND codes.code = lut.code_id
+),
+agg AS (
+  SELECT query_id, vec_id,
+         {" + ".join(f"SUM(CASE WHEN s = {s} THEN d END)" for s in range(PQ_M))} AS adist
+  FROM hits GROUP BY query_id, vec_id
+)
+SELECT query_id, neighbor_id, adist, rank FROM (
+  SELECT query_id, vec_id AS neighbor_id, round(adist, 6) AS adist,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+  FROM agg WHERE vec_id <> query_id
+) WHERE rank <= {TOP_K}
+""",
+)
+def q_similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search via asymmetric distance computation: exact query
+    subvectors score a broadcast (query x subspace x codeword) lookup
+    table; each coded corpus vector's approximate distance is the
+    fixed-order sum of its m LUT hits
+    (operators/similarity.ann_topk_pq_adc). After the one-time coding
+    pass, search never touches the float corpus — codes + LUT only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ann_topk_pq_adc(emb, dim=EMB_DIM, n_queries=N_QUERIES, m=PQ_M, k=PQ_K, top_k=TOP_K)

@@ -452,3 +452,67 @@ def pq_codes(
             F.round("d", 6).alias("sqdist"),
         )
     )
+
+
+def ann_topk_pq_adc(
+    vectors: DataFrame,
+    dim: int,
+    n_queries: int,
+    m: int = 4,
+    k: int = 8,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ search by asymmetric distance computation:
+    (query_id, neighbor_id, adist, rank).
+
+    The query stays exact; the corpus is represented only by its PQ
+    codes. Per query, a lookup table of sqdist(query subvector,
+    codeword) — n_queries * m * k tiny rows — broadcasts, and every
+    coded vector's approximate distance is the sum of m LUT hits.
+    This is why PQ scales: after the one-time coding pass, search
+    touches codes (bits) + a broadcast LUT, never the float corpus.
+
+    Determinism: the m per-subspace terms are summed in FIXED subspace
+    order via conditional one-hot sums (a bare SUM over a float group
+    is partition-order-dependent at the last ulp), so adist is
+    bit-identical to the oracle.
+    """
+    sub = dim // m
+    codes = pq_codes(vectors, dim, m, k, id_col, vec_col).select(
+        id_col, "subspace", "code"
+    )
+    v = spread(vectors.select(F.col(id_col), as_double_array(vec_col).alias("e")))
+    slices = F.array(*[F.slice(F.col("e"), s * sub + 1, sub) for s in range(m)])
+    cb = (
+        v.filter(F.col(id_col) < k)
+        .select(F.col(id_col).alias("code_id"), F.posexplode(slices).alias("subspace", "cv"))
+    )
+    q_subs = (
+        v.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), F.posexplode(slices).alias("subspace", "qv"))
+    )
+    lut = q_subs.join(F.broadcast(cb), "subspace").select(
+        "query_id", "subspace", "code_id", sqdist(F.col("qv"), F.col("cv")).alias("d")
+    )
+    hits = codes.join(
+        F.broadcast(lut),
+        (codes.subspace == lut.subspace) & (codes.code == lut.code_id),
+    ).select(F.col(id_col), "query_id", codes.subspace.alias("s"), "d")
+    per_sub = [
+        F.sum(F.when(F.col("s") == s, F.col("d"))).alias(f"d{s}") for s in range(m)
+    ]
+    agg = hits.groupBy("query_id", id_col).agg(*per_sub)
+    adist = F.col("d0")
+    for s in range(1, m):
+        adist = adist + F.col(f"d{s}")
+    scored = agg.filter(F.col(id_col) != F.col("query_id")).select(
+        "query_id", F.col(id_col).alias("neighbor_id"), adist.alias("adist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", F.round("adist", 6).alias("adist"), "rank")
+    )

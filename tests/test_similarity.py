@@ -137,3 +137,20 @@ def test_pq_seed_vectors_code_themselves(spark, sf_dir):
     n = emb.count()
     assert out.count() == n * 4
     assert out.filter("code < 0 OR code >= 8").count() == 0
+
+
+def test_pq_adc_approximates_exact_neighbors(spark, sf_dir):
+    from mock_map_reduce_spark.operators import similarity as sim
+    from mock_map_reduce_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    adc = sim.ann_topk_pq_adc(emb, dim=64, n_queries=3, m=4, k=8, top_k=5)
+    rows = adc.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2}
+    for q in (0, 1, 2):
+        ranks = sorted(r.rank for r in rows if r.query_id == q)
+        assert ranks == [1, 2, 3, 4, 5]
+    # approximate distances are non-negative and monotone in rank
+    for q in (0, 1, 2):
+        ds = [r.adist for r in sorted(rows, key=lambda r: r.rank) if r.query_id == q]
+        assert all(d >= 0 for d in ds) and ds == sorted(ds)
