@@ -325,3 +325,31 @@ def q_text_rank_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global vocabulary sort — and stay in exact integers, so
     the LM-ish quality signal is oracle-checkable bit-for-bit."""
     return tx.rank_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_chunks",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) <= 64 THEN 1
+              ELSE CAST(ceil((len(w) - 64) / 48.0) AS BIGINT) + 1 END AS nc
+  FROM t
+),
+x AS (SELECT doc_id, unnest(range(0, nc)) AS chunk_idx, w FROM c)
+SELECT doc_id, chunk_idx,
+       CAST(len(list_slice(w, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(w, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ') AS chunk_text
+FROM x
+""",
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token / stride-48 retrieval chunks per document
+    (operators/text.chunk_documents) — the context-window chunking
+    pass, as pure codegen'd array expressions riding the scan."""
+    return tx.chunk_documents(load_table(spark, sf_dir, "documents"))

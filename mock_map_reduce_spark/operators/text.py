@@ -376,3 +376,43 @@ def rank_surprisal(
             F.round(F.col("rank_sum").cast("double") / F.col("n_toks"), 4).alias("mean_rank"),
         )
     )
+
+
+def chunk_documents(
+    docs_in: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunks per doc: (id, chunk_idx,
+    n_tokens, chunk_text) — the retrieval/context-window chunking pass
+    of an LLM data pipeline.
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens); the
+    last chunk may be short; a doc shorter than one chunk yields one
+    chunk with all its tokens. Pure array expressions (sequence ->
+    transform -> posexplode) — whole-stage codegen, no UDF/UDTF, no
+    shuffle: chunks ride the scan, so chunking 100 TB costs one pass
+    and writes partition-local output.
+    """
+    if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    base = docs_in.select(F.col(id_col), _ws_tokens(text_col).alias("__w"))
+    n = F.size("__w")
+    # number of stride-starts whose window contains at least one token
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)).cast("double") / stride).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(F.col("__w"), i * stride + 1, chunk_tokens),
+    )
+    return base.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "__c")
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("__c").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.col("__c")).alias("chunk_text"),
+    )

@@ -170,3 +170,20 @@ def test_rank_surprisal_matches_python_model(spark):
             sum(rank[t] for t in ts),
             max(rank[t] for t in ts),
         ), i
+
+
+def test_chunk_documents_windows(spark):
+    # 100 tokens, chunk 64, stride 48 -> chunks at 0 (64 toks) and 48 (52 toks)
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, words), (2, "a b"), (3, "")],
+                               "doc_id long, text string")
+    out = {(r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_text)
+           for r in tx.chunk_documents(df).collect()}
+    assert out[(1, 0)][0] == 64 and out[(1, 0)][1].startswith("w0 w1 ")
+    assert out[(1, 1)][0] == 52 and out[(1, 1)][1].startswith("w48 ")
+    assert out[(1, 1)][1].endswith("w99")
+    assert out[(2, 0)] == (2, "a b")       # short doc -> one whole chunk
+    assert out[(3, 0)] == (0, "")          # empty doc -> one empty chunk
+    assert set(out) == {(1, 0), (1, 1), (2, 0), (3, 0)}
+    # consecutive chunks overlap by chunk_tokens - stride = 16 tokens
+    assert out[(1, 0)][1].split()[48:] == out[(1, 1)][1].split()[:16]
