@@ -353,3 +353,88 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.chunk_documents) — the context-window chunking
     pass, as pure codegen'd array expressions riding the scan."""
     return tx.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "profile_corpus",
+    oracle=f"""
+WITH {_QUALITY_CTES},
+q AS (
+  SELECT doc_id,
+         round(least(mean_word_len / 8.0, 1.0) * 0.25
+               + least(stop_ratio * 4.0, 1.0) * 0.25
+               + alpha_ratio * 0.25
+               + distinct_ratio * 0.25, 6) AS quality_score
+  FROM ratios
+),
+scores AS (
+  SELECT doc_id,
+         {_LANG_SCORES}
+  FROM toks
+),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+              WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+              WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+              WHEN s_en >= s_de THEN 'en'
+              ELSE 'de' END AS lang_pred
+  FROM scores
+),
+ws AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws,
+         length(text) AS n_chars
+  FROM documents
+),
+dup AS (
+  SELECT doc_id, CASE WHEN count(*) OVER (PARTITION BY text) > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM documents
+)
+SELECT lang_pred,
+       COUNT(*) AS n_docs,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       round(CAST(SUM(CAST(quality_score AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*), 6) AS mean_quality
+FROM lang
+JOIN q USING (doc_id)
+JOIN ws USING (doc_id)
+JOIN dup USING (doc_id)
+GROUP BY lang_pred
+""",
+)
+def q_profile_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus data card: docs, exact-dup docs, token and
+    char volume, mean quality — the existing lang-ID, quality, token
+    and exact-dup operators COMPOSED into one declarative plan.
+
+    Scale notes: lang/quality/token features all ride the scan; the
+    dup flag shuffles sha2 digests, never text; the mean quality uses
+    an exact DECIMAL sum (a bare float SUM would be partition-order-
+    dependent at the last ulp); the final rollup is a handful of rows.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang = tx.language_id(docs).select("doc_id", "lang_pred")
+    q = tx.quality_score(docs).select("doc_id", "quality_score")
+    stats = tx.token_stats(docs).select(
+        "doc_id", F.col("n_ws_tokens"), F.col("n_chars")
+    )
+    dup = docs.select(
+        "doc_id",
+        F.count("*").over(Window.partitionBy(F.sha2(F.col("text"), 256))).alias("__copies"),
+    ).select("doc_id", (F.col("__copies") > 1).cast("int").alias("is_dup"))
+    joined = lang.join(q, "doc_id").join(stats, "doc_id").join(dup, "doc_id")
+    return joined.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dup_docs"),
+        F.sum("n_ws_tokens").cast("long").alias("total_ws_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(12,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_quality"),
+    )
