@@ -406,27 +406,27 @@ GROUP BY lang_pred
 )
 def q_profile_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus data card: docs, exact-dup docs, token and
-    char volume, mean quality — the existing lang-ID, quality, token
-    and exact-dup operators COMPOSED into one declarative plan.
+    char volume, mean quality — lang-ID, quality, and token features
+    computed in ONE projection over ONE scan
+    (operators/text.profile_features).
 
-    Scale notes: lang/quality/token features all ride the scan; the
-    dup flag shuffles sha2 digests, never text; the mean quality uses
-    an exact DECIMAL sum (a bare float SUM would be partition-order-
-    dependent at the last ulp); the final rollup is a handful of rows.
+    Scale notes: every per-doc feature rides the single scan; the dup
+    flag is a window over the sha2 digest (shuffles 32-byte digests +
+    feature rows, never text); the mean quality uses an exact DECIMAL
+    sum (a bare float SUM would be partition-order-dependent at the
+    last ulp); the final rollup is a handful of rows.
     """
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    lang = tx.language_id(docs).select("doc_id", "lang_pred")
-    q = tx.quality_score(docs).select("doc_id", "quality_score")
-    stats = tx.token_stats(docs).select(
-        "doc_id", F.col("n_ws_tokens"), F.col("n_chars")
+    feats = tx.profile_features(docs)
+    joined = feats.select(
+        "lang_pred",
+        "quality_score",
+        "n_ws_tokens",
+        "n_chars",
+        (F.count("*").over(Window.partitionBy("__digest")) > 1).cast("int").alias("is_dup"),
     )
-    dup = docs.select(
-        "doc_id",
-        F.count("*").over(Window.partitionBy(F.sha2(F.col("text"), 256))).alias("__copies"),
-    ).select("doc_id", (F.col("__copies") > 1).cast("int").alias("is_dup"))
-    joined = lang.join(q, "doc_id").join(stats, "doc_id").join(dup, "doc_id")
     return joined.groupBy("lang_pred").agg(
         F.count("*").alias("n_docs"),
         F.sum("is_dup").cast("long").alias("n_dup_docs"),

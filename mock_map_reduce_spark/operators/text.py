@@ -416,3 +416,56 @@ def chunk_documents(
         F.size("__c").cast("long").alias("n_tokens"),
         F.concat_ws(" ", F.col("__c")).alias("chunk_text"),
     )
+
+
+def profile_features(
+    docs_in: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Single-pass per-doc profile: (id, lang_pred, quality_score,
+    n_ws_tokens, n_chars) — the same columns language_id /
+    quality_score / token_stats produce separately, computed in ONE
+    projection so a corpus report reads the text column once instead
+    of once per feature family (joining the per-operator outputs back
+    on doc_id would shuffle per-doc rows once per family AND rescan
+    the corpus per family — pure waste at 100 TB).
+    """
+    toks = _word_tokens(text_col)
+    n_toks = F.size(toks)
+    # language vote (mirrors language_id)
+    scores = []
+    for lang in sorted(STOPWORDS):
+        sw = F.array([F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        scores.append(
+            F.struct(
+                F.when(n_toks > 0, hits.cast("double") / n_toks).otherwise(0.0).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    # quality blend (mirrors quality_score)
+    en = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    n_chars = F.length(text_col)
+    mean_word_len = F.when(n_toks > 0, n_alpha.cast("double") / n_toks).otherwise(0.0)
+    stop_ratio = F.when(n_toks > 0, n_stop.cast("double") / n_toks).otherwise(0.0)
+    alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(0.0)
+    distinct_ratio = F.when(
+        n_toks > 0, F.size(F.array_distinct(toks)).cast("double") / n_toks
+    ).otherwise(0.0)
+    score = (
+        F.least(mean_word_len / 8.0, F.lit(1.0)) * 0.25
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.25
+        + alpha_ratio * 0.25
+        + distinct_ratio * 0.25
+    )
+    docs = spread(docs_in.select(id_col, text_col))
+    return docs.select(
+        F.col(id_col),
+        F.when(best["score"] > 0, best["lang"]).otherwise("und").alias("lang_pred"),
+        F.round(score, 6).alias("quality_score"),
+        F.size(_ws_tokens(text_col)).cast("long").alias("n_ws_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        F.sha2(F.col(text_col), 256).alias("__digest"),
+    )
