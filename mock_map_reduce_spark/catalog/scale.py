@@ -181,3 +181,28 @@ def q_layout_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return zorder_layout(d, F.col("x"), F.col("y"), id_col="o_orderkey",
                          bits=_Z_BITS, bucket_shift=_Z_BUCKET_SHIFT)
+
+
+_SALTED_JOIN_ORACLE = """
+SELECT o_orderkey, c_custkey, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+@query("join_salted_skew", oracle=_SALTED_JOIN_ORACLE)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join sharing a PLAIN join oracle — proving the
+    salt rewrite is result-identical, exactly as word_count_salted
+    proves it for aggregation. The join-side recipe for hot keys that
+    defeat both the broadcast threshold and AQE's skew split: big side
+    scatters across num_salts sub-keys, small side replicates
+    num_salts×, the hot key spreads over num_salts reducers.
+    """
+    from mock_map_reduce_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), cust, key="c_custkey"
+    )
+    return joined.select("o_orderkey", "c_custkey", "c_mktsegment")

@@ -35,3 +35,30 @@ def salted_agg_count(
 def salted_word_count(docs: DataFrame, text_col: str = "text", num_salts: int = 8) -> DataFrame:
     """word_count with explicit salting — byte-identical results."""
     return salted_agg_count(tokenize(docs, text_col), "word", num_salts)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    num_salts: int = 8,
+) -> DataFrame:
+    """Equi-join with explicit key salting — identical results, skew-
+    proof shuffle distribution.
+
+    The big side scatters each row to one of ``num_salts`` sub-keys;
+    the small side replicates once per salt (an explode of a
+    num_salts literal array — its shuffle grows num_salts×, which is
+    why this is for big×SMALL joins whose hot keys defeat both the
+    broadcast threshold and AQE's skew split). Joining on
+    (key, salt) spreads any hot key over num_salts reducers. The salt
+    derives from monotonically_increasing_id, so no co-key collision
+    pattern can concentrate it.
+    """
+    b = big.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(num_salts))
+    )
+    s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    return b.join(s, [key, "__salt"]).drop("__salt")

@@ -56,3 +56,29 @@ def test_salted_agg_matches_plain_groupby(skewed):
     plain = {r.k: r["count"] for r in skewed.groupBy("k").count().collect()}
     salted = {r.k: r["count"] for r in salted_agg_count(skewed, "k").collect()}
     assert plain == salted
+
+
+def test_salted_join_distributes_on_salt(spark, sf_dir):
+    """Result-identity is oracle-proven (join_salted_skew); here: with
+    broadcast disabled, the salted join's exchange partitions on
+    (key, salt) — the hot-key spread — and results still match."""
+    from pyspark.sql import functions as F
+
+    from mock_map_reduce_spark.operators.skew import salted_join
+    from mock_map_reduce_spark.plans import final_plan
+    from mock_map_reduce_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = orders.join(cust, "c_custkey").select("o_orderkey", "c_mktsegment")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = salted_join(orders, cust, "c_custkey").select("o_orderkey", "c_mktsegment")
+        plan = final_plan(salted)
+        assert "hashpartitioning(c_custkey" in plan and "__salt" in plan
+        assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
