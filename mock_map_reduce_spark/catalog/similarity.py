@@ -63,12 +63,51 @@ def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_plans.py::test_no_catalog_query_is_quadratic pins this.
 
 
-@query("similarity_ann_lsh")  # approximate by construction -> rows-only; pytest pins recall
+ANN_LSH_BITS = 8
+_PLANES8 = sim._hyperplanes(EMB_DIM, ANN_LSH_BITS, seed=42)
+
+
+def _ann_lsh_oracle() -> str:
+    # seeded hyperplanes are driver-side literals, so the WHOLE ANN
+    # pipeline — sign-bit bucket, Hamming-1 multiprobe (xor), in-bucket
+    # exact cosine, per-query top-k — re-derives in SQL (the strategy
+    # dedup_embedding_lsh already uses at 4 bits).
+    def plane_lit(row: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in row) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN {_DOT.format(a='e', b=plane_lit(p))} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_PLANES8)
+    )
+    probes = ", ".join(["CAST(qb AS BIGINT)"] + [f"xor(qb, {1 << i})" for i in range(ANN_LSH_BITS)])
+    return f"""
+WITH {_V},
+bk AS (SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qb FROM bk WHERE vec_id < {N_QUERIES}),
+probes AS (SELECT query_id, qe, unnest([{probes}]) AS bucket FROM q),
+scored AS (
+  SELECT query_id, bk.vec_id AS neighbor_id, {_cos("qe", "bk.e")} AS cos
+  FROM bk JOIN probes USING (bucket)
+  WHERE bk.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+@query("similarity_ann_lsh", oracle=_ann_lsh_oracle())
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (8-bit hyperplane signatures, Hamming-1 multiprobe)."""
+    """LSH-bucketed ANN (8-bit hyperplane signatures, Hamming-1
+    multiprobe) — NOW fully oracle-checked: approximate vs ground
+    truth, but deterministic given the seeded hyperplanes, so the
+    DuckDB twin re-derives buckets, probes, and the in-bucket top-k
+    exactly (pytest still pins recall against the exact baseline)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return sim.ann_topk_lsh(emb, queries, dim=EMB_DIM, k=TOP_K, nbits=8)
+    return sim.ann_topk_lsh(emb, queries, dim=EMB_DIM, k=TOP_K, nbits=ANN_LSH_BITS)
 
 
 N_CELLS = 8  # IVF coarse quantizer: centroids = embeddings with vec_id < 8

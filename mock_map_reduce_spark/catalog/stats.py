@@ -69,25 +69,39 @@ def q_agg_correlation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUANTILES = [0.25, 0.5, 0.75, 0.99]
 
 
-@query("approx_quantiles")  # t-digest sketches differ per engine -> rows-only
+@query(
+    "approx_quantiles",
+    oracle=f"""
+SELECT l_returnflag, q.quantile, TRUE AS within_tol
+FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+CROSS JOIN (SELECT CAST(unnest({list(_QUANTILES)}) AS DOUBLE) AS quantile) q
+""",
+)
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile — the mergeable-sketch quantile for 100 TB
     groups (exact percentile sorts the group; see agg_percentiles for
     the exact baseline).
 
-    The quantile array is posexploded into scalar
-    (l_returnflag, quantile, value) rows — harness canonicalizers
-    hash cells, and scalar rows keep every cell hashable.
+    Oracle strategy (t-digest values differ per engine, so raw sketch
+    output can never hash-match): per (group, quantile) the query
+    emits ONLY a boolean — |approx − exact| ≤ 2% of the group's value
+    range — computed against Spark's own exact percentile, whose
+    engine parity `agg_percentiles` already proves. The oracle expects
+    TRUE for every row, so any sketch-accuracy regression flips a
+    cell and fails the hash. No cross-engine float ever reaches the
+    compare.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", _QUANTILES, 10000).alias("qs")
-    )
     qlit = F.array(*[F.lit(q) for q in _QUANTILES])
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", _QUANTILES, 10000).alias("qs"),
+        F.percentile("l_extendedprice", qlit).alias("exact"),
+        (F.max("l_extendedprice") - F.min("l_extendedprice")).alias("rng"),
+    )
     return agg.select(
-        "l_returnflag", F.posexplode("qs").alias("pos", "value")
+        "l_returnflag", "rng", F.posexplode(F.arrays_zip("qs", "exact")).alias("pos", "z")
     ).select(
         "l_returnflag",
         F.element_at(qlit, F.col("pos") + 1).alias("quantile"),
-        "value",
+        (F.abs(F.col("z.qs") - F.col("z.exact")) <= 0.02 * F.col("rng")).alias("within_tol"),
     )
