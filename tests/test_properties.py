@@ -64,3 +64,50 @@ def test_top_n_is_prefix_of_full_ordering(spark, texts, n):
     )
     top = [(r.word, r["count"]) for r in wc.top_n(df, n=n).collect()]
     assert top == full[: min(n, len(full))]
+
+
+ZPOINTS = st.lists(
+    st.tuples(st.integers(0, 4095), st.integers(0, 4095)),
+    min_size=1, max_size=20, unique=True,
+)
+
+
+@given(ZPOINTS)
+@PROP_SETTINGS
+def test_zorder_key_is_injective_and_bounded(spark, pts):
+    from pyspark.sql import functions as F
+
+    from mock_map_reduce_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")).collect()
+    zs = [r.z for r in rows]
+    assert len(set(zs)) == len(pts)              # injective on distinct inputs
+    assert all(0 <= z < (1 << 24) for z in zs)   # 12+12 interleaved bits
+
+
+CHUNK_TEXTS = st.lists(
+    st.text(alphabet=st.sampled_from("ab c"), min_size=0, max_size=400),
+    min_size=1, max_size=4,
+)
+
+
+@given(CHUNK_TEXTS, st.integers(2, 8), st.integers(1, 8))
+@PROP_SETTINGS
+def test_chunks_cover_every_token_in_order(spark, texts, chunk, stride_raw):
+    from mock_map_reduce_spark.operators.text import chunk_documents
+
+    stride = min(stride_raw, chunk)
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+    for i, t in enumerate(texts):
+        toks = t.split()
+        chunks = sorted(
+            ((r.chunk_idx, r.chunk_text) for r in rows if r.doc_id == i)
+        )
+        # stride-prefixes of consecutive chunks reconstruct the doc exactly
+        rebuilt = []
+        for idx, (ci, ct) in enumerate(chunks):
+            words = ct.split()
+            rebuilt.extend(words if idx == len(chunks) - 1 else words[:stride])
+        assert rebuilt == toks, (t, chunk, stride)
