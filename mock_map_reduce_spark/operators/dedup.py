@@ -292,22 +292,72 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_doc_freq: int | None = None,
+    via: str = "group",
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets: (id_a, id_b, jaccard).
 
-    Pairs are generated ONLY through shared shingles (inverted-index
-    join), so disjoint docs never meet — no cross join. jaccard is a
-    ratio of exact integer counts: bit-identical across engines.
+    Pairs are generated ONLY through shared shingles (inverted index),
+    so disjoint docs never meet — no cross join. jaccard is a ratio of
+    exact integer counts: bit-identical across engines.
 
-    100 TB note: a shingle shared by D docs emits D^2 join rows; for
-    web-scale corpora run this AFTER lsh_candidate_pairs (semi-join
-    the shingle table on candidates) or set ``max_doc_freq`` — the
-    "stop-shingle" guard: shingles appearing in more than that many
-    docs are excluded from BOTH the intersection and the set sizes
-    (jaccard is then over the non-stop shingle sets), bounding the
-    join fan-out of any one shingle to max_doc_freq^2.
+    ``via="group"`` (default): ONE groupBy(gram) builds each gram's
+    sorted posting list; pairs are emitted per-list with the ordered-
+    suffix slice-explode (the lsh_candidate_pairs trick) and the
+    ``max_doc_freq`` stop-shingle cap becomes a plain size(ids) filter
+    on the grouped row — the doc-freq pre-aggregation, the broadcast
+    anti-join, AND the gram self-join all disappear. Per-doc kept-gram
+    sizes re-derive from the same posting lists, so the shingle
+    lineage runs once. ``via="join"`` keeps the classic two-sided
+    inverted-index join formulation (one materialized gram exchange
+    consumed by both sides as ReusedExchange).
+
+    100 TB note: a shingle shared by D docs emits D(D-1)/2 pair rows;
+    for web-scale corpora run this AFTER lsh_candidate_pairs
+    (semi-join the shingle table on candidates) or set
+    ``max_doc_freq`` — the stop-shingle guard excludes viral shingles
+    from BOTH the intersection and the set sizes (jaccard is then over
+    the non-stop shingle sets), bounding any one shingle's fan-out.
     """
     g = shingles(docs, n, text_col, id_col)
+    if via == "group":
+        grouped = g.groupBy("gram").agg(
+            F.sort_array(F.collect_list(id_col)).alias("ids")
+        )
+        if max_doc_freq is not None:
+            grouped = grouped.filter(F.size("ids") <= max_doc_freq)
+        # Both consumers below share the groupBy(gram) exchange as
+        # ReusedExchange — the scan+tokenize+shingle lineage (the
+        # expensive part) shuffle-writes once; only the cheap final agg
+        # over posting lists re-runs per consumer.
+        kept = grouped.select("ids")
+        sizes = (
+            kept.select(F.explode("ids").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_grams"))
+        )
+        shared = (
+            kept.filter(F.size("ids") > 1)
+            .select("ids", F.posexplode("ids").alias("__i", "id_a"))
+            .select(
+                "id_a",
+                F.explode(F.expr("slice(ids, __i + 2, size(ids))")).alias("id_b"),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_shared"))
+        )
+        sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
+        sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
+        return (
+            shared.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     if max_doc_freq is not None:
         # anti-join against the STOP list (grams above the cap) — that
         # list is tiny by construction, so it broadcasts even when the

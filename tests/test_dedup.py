@@ -204,3 +204,12 @@ def test_incremental_candidates_cross_set_only(docs):
     assert all(n % 2 == 1 and o % 2 == 0 for n, o in pairs)
     # unrelated doc 4 collides with nothing
     assert not any(o == 4 for _, o in pairs)
+
+
+def test_ngram_group_and_join_formulations_agree(docs):
+    for cap in (None, 64):
+        g = {(r.id_a, r.id_b, round(r.jaccard, 9))
+             for r in dd.ngram_jaccard_pairs(docs, 3, 0.1, max_doc_freq=cap, via="group").collect()}
+        j = {(r.id_a, r.id_b, round(r.jaccard, 9))
+             for r in dd.ngram_jaccard_pairs(docs, 3, 0.1, max_doc_freq=cap, via="join").collect()}
+        assert g == j and g  # identical, and non-empty on the planted dups
