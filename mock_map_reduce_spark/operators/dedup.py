@@ -79,7 +79,7 @@ def shingles(
     no Python in the loop. Docs shorter than n words yield no grams.
     """
     return (
-        _spread(docs.select(F.col(id_col), F.col(text_col)))
+        _spread(docs.select(F.col(id_col), F.col(text_col)), heavy=True)
         # Materialize tokens BEFORE the gram transform: referencing the
         # split/filter expression inside the lambda would re-evaluate
         # the regex split once PER GRAM (no common-subexpression
@@ -166,7 +166,7 @@ def minhash_signatures(
         )
 
     base = (
-        _spread(docs.select(F.col(id_col), F.col(text_col)))
+        _spread(docs.select(F.col(id_col), F.col(text_col)), heavy=True)
         .select(F.col(id_col), _norm_tokens(text_col).alias("__toks"))
         .select(F.col(id_col), _grams_of(F.col("__toks"), n).alias("__grams"))
         .filter(F.size("__grams") > 0)
@@ -429,7 +429,7 @@ def simhash(
     bit-reproducible in DuckDB so the catalog entry is
     oracle-checked. xxhash64 (default) is the fast single-fold path.
     """
-    toks = _spread(docs.select(F.col(id_col), F.col(text_col))).select(
+    toks = _spread(docs.select(F.col(id_col), F.col(text_col)), heavy=True).select(
         F.col(id_col), F.explode(_norm_tokens(text_col)).alias("tok")
     )
     if use_md5:

@@ -105,7 +105,7 @@ def byte_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 columns=["doc_id", "n_bytes", "mean_byte", "std_byte", "entropy_proxy"],
             )
 
-    return spread(media.select(id_col, "payload")).mapInPandas(extract, FEATURE_SCHEMA)
+    return spread(media.select(id_col, "payload"), heavy=True).mapInPandas(extract, FEATURE_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx long, frame_mean double"
@@ -138,7 +138,7 @@ def frame_sample(media: DataFrame, frame_size: int = 256, stride: int = 2, id_co
                     out["frame_mean"].append(float(np.round(chunk.mean(), 6)) if len(chunk) else 0.0)
             yield pd.DataFrame(out)
 
-    return spread(media.select(id_col, "payload")).mapInPandas(sample, FRAME_SCHEMA)
+    return spread(media.select(id_col, "payload"), heavy=True).mapInPandas(sample, FRAME_SCHEMA)
 
 
 RESIZE_SCHEMA = "doc_id long, payload binary, n_bytes long"
@@ -164,4 +164,4 @@ def resize_payload(media: DataFrame, factor: int = 4, id_col: str = "doc_id") ->
                 rows.append((int(doc_id), b, len(b)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload", "n_bytes"])
 
-    return spread(media.select(id_col, "payload")).mapInPandas(shrink, RESIZE_SCHEMA)
+    return spread(media.select(id_col, "payload"), heavy=True).mapInPandas(shrink, RESIZE_SCHEMA)

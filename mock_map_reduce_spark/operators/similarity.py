@@ -70,7 +70,7 @@ def brute_force_topk(
     )
     c = spread(corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cvec")
-    ))
+    ), heavy=True)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
@@ -102,7 +102,7 @@ def cosine_pairs_above(
     verification pass over LSH candidates at scale (pass a candidate
     pair DataFrame through ``score_pairs`` instead for that).
     """
-    a = spread(emb.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("va")))
+    a = spread(emb.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("va")), heavy=True)
     b = emb.select(F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
@@ -175,7 +175,7 @@ def ann_topk_lsh(
     shrinks ~2^b-fold per probe; multiprobe trades (b+1)x candidates
     for much better recall.
     """
-    c = spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col)), heavy=True).select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("cvec"),
         lsh_bucket(F.col(vec_col), dim, nbits, seed).alias("bucket"),
@@ -239,7 +239,7 @@ def ivf_assign(
     c = centroids.select(
         F.col(id_col).alias(centroid_id_col), as_double_array(vec_col).alias("cent")
     )
-    v = spread(vectors.select(F.col(id_col), as_double_array(vec_col).alias("vec")))
+    v = spread(vectors.select(F.col(id_col), as_double_array(vec_col).alias("vec")), heavy=True)
     scored = v.crossJoin(F.broadcast(c)).select(
         id_col,
         "vec",
@@ -315,7 +315,7 @@ def embedding_near_dup_lsh(
     near-identical vectors (the dedup regime) almost always do — use
     fewer bits or multiprobe for looser thresholds.
     """
-    tagged = spread(emb.select(F.col(id_col), F.col(vec_col))).select(
+    tagged = spread(emb.select(F.col(id_col), F.col(vec_col)), heavy=True).select(
         F.col(id_col),
         as_double_array(vec_col).alias("vec"),
         lsh_bucket(F.col(vec_col), dim, nbits, seed).alias("bucket"),
@@ -431,7 +431,7 @@ def pq_codes(
     if dim % m:
         raise ValueError("dim must divide evenly into m subspaces")
     sub = dim // m
-    v = spread(vectors.select(F.col(id_col), as_double_array(vec_col).alias("e")))
+    v = spread(vectors.select(F.col(id_col), as_double_array(vec_col).alias("e")), heavy=True)
     slices = F.array(*[F.slice(F.col("e"), s * sub + 1, sub) for s in range(m)])
     subs = v.select(F.col(id_col), F.posexplode(slices).alias("subspace", "sv"))
     cb = (
@@ -483,7 +483,7 @@ def ann_topk_pq_adc(
     codes = pq_codes(vectors, dim, m, k, id_col, vec_col).select(
         id_col, "subspace", "code"
     )
-    v = spread(vectors.select(F.col(id_col), as_double_array(vec_col).alias("e")))
+    v = spread(vectors.select(F.col(id_col), as_double_array(vec_col).alias("e")), heavy=True)
     slices = F.array(*[F.slice(F.col("e"), s * sub + 1, sub) for s in range(m)])
     cb = (
         v.filter(F.col(id_col) < k)

@@ -204,7 +204,10 @@ def tf_idf(
     )
     tf = words.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
     df = tf.groupBy("word").agg(F.count("*").alias("df")).filter(F.col("df") >= min_df)
-    n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
+    # id_col is the table's key (unique by contract), so plain count ==
+    # countDistinct — without the hash-distinct exchange a distinct
+    # aggregation would add over the third corpus scan.
+    n_docs = docs.select(F.count(id_col).alias("n_docs"))
     return (
         tf.join(F.broadcast(df), "word")
         .crossJoin(F.broadcast(n_docs))
