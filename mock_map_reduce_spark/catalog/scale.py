@@ -6,7 +6,7 @@ skew-mitigation rewrite is result-identical is the whole point.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mock_map_reduce_spark.operators.skew import salted_word_count
 from mock_map_reduce_spark.registry import query
@@ -206,3 +206,43 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumnRenamed("o_custkey", "c_custkey"), cust, key="c_custkey"
     )
     return joined.select("o_orderkey", "c_custkey", "c_mktsegment")
+
+
+_TOP_K_WORDS = 20
+
+
+@query(
+    "approx_top_words",
+    oracle=f"""
+SELECT CAST(unnest(range(0, {_TOP_K_WORDS})) AS INT) AS pos,
+       TRUE AS count_correct
+""",
+)
+def q_approx_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters sketch (approx_top_k) with a tie-robust oracle.
+
+    The mergeable frequent-items sketch is the 100 TB answer to "top
+    words" when the vocabulary no longer fits a bounded heap per
+    partition. Raw sketch output can't hash-match another engine (tied
+    tail items are picked arbitrarily), so the query emits one boolean
+    per returned position: does the sketch's reported count equal the
+    EXACT count of that item (broadcast join back against the exact
+    aggregation)? The oracle expects {_TOP_K_WORDS} TRUE rows — any
+    count error or short result fails the hash, any tie-flip passes.
+    """
+    from mock_map_reduce_spark.operators.wordcount import tokenize
+
+    words = tokenize(load_table(spark, sf_dir, "documents"), "text")
+    sk = words.agg(
+        F.expr(f"approx_top_k(word, {_TOP_K_WORDS})").alias("tk")
+    ).select(F.posexplode("tk").alias("pos", "e"))
+    exact = words.groupBy("word").agg(F.count("*").alias("exact_count"))
+    return (
+        sk.join(F.broadcast(exact), sk.e.item == exact.word, "left")
+        .select(
+            "pos",
+            (F.col("e.count") == F.coalesce(F.col("exact_count"), F.lit(-1))).alias(
+                "count_correct"
+            ),
+        )
+    )
