@@ -246,3 +246,49 @@ def q_approx_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "approx_distinct_merged",
+    oracle="""
+SELECT COUNT(DISTINCT o_custkey) AS exact_count,
+       TRUE AS merged_within_bound,
+       TRUE AS direct_within_bound
+FROM orders
+""",
+)
+def q_approx_distinct_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch-STATE mergeability — the distinct-count analogue of
+    agg_partial_merge_variance: per-shard hll_sketch_agg states union
+    via hll_union_agg, and BOTH the merged and the direct single-pass
+    estimates land within 5 standard errors (~1.04/sqrt(2^12)) of the
+    exact count. (The two estimates need not be bit-equal — the
+    DataSketches union path can settle registers in a different
+    representation mode than the direct aggregation.) At 100 TB this
+    is how daily distinct-user counts roll up: tiny per-partition
+    sketch states, re-aggregable forever, no rescan. Oracle expects
+    the exact count plus both booleans TRUE.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    partials = orders.groupBy(
+        F.pmod("o_orderkey", F.lit(16)).alias("shard")
+    ).agg(F.expr("hll_sketch_agg(o_custkey, 12)").alias("sk"))
+    merged = partials.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("m_est")
+    )
+    direct = orders.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, 12))").alias("d_est"),
+        F.countDistinct("o_custkey").alias("exact_count"),
+    )
+    rel_err = 5 * 1.04 / (2 ** 6)  # 5 standard errors at lgK=12 (2^6 = sqrt(2^12))
+    return merged.crossJoin(direct).select(
+        "exact_count",
+        (
+            F.abs(F.col("m_est") - F.col("exact_count"))
+            <= F.lit(rel_err) * F.col("exact_count")
+        ).alias("merged_within_bound"),
+        (
+            F.abs(F.col("d_est") - F.col("exact_count"))
+            <= F.lit(rel_err) * F.col("exact_count")
+        ).alias("direct_within_bound"),
+    )
