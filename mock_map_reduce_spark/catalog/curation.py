@@ -254,3 +254,38 @@ def q_pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFram
             / F.count("*")
         ).alias("avg_quality"),
     )
+
+
+@query(
+    "curation_stratified_sample",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM r WHERE rn <= 25
+""",
+)
+def q_curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly 25 docs per language,
+    chosen by md5(doc_id) order — the balanced-eval-set draw. Unlike
+    sampleBy (seeded Bernoulli: approximate strata sizes, engine-
+    specific RNG), the md5 order is exact, engine-portable, and stable
+    under reruns/retries; one window per stratum, shuffle carries
+    (id, lang) only.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("doc_id", "lang")
+    )
