@@ -3,12 +3,26 @@
 Split by surface area; each module corresponds to a SURVEY.md §2 slice:
     flagship    — the reference's own query (word count / top-N)
     relational  — joins, aggregates, windows, set ops, scalar functions
-    curation    — deterministic sampling, splits, packing, stable shuffle
-    dedup       — exact + fuzzy deduplication over documents
-    similarity  — vector similarity search over embeddings
-    text        — text analysis (lang-id, quality, tokens, fingerprints)
+    advanced    — exact variance/percentiles, string agg, unpivot, nulls
+    stats       — crosstab, exact correlation, accuracy-gated sketches
+    sqlapi/2    — the TPC-H-shaped spark.sql surface (all 22 shapes)
+    windows2    — ranking variants, range frames, bag set ops
+    semistructured — array/map/JSON functions
+    scale       — salting (agg + join), grouping sets, Pandas UDF,
+                  mergeable agg state, Z-order layout, sketch merges
+    curation    — deterministic sampling (hash/mixture/stratified),
+                  splits, packing, stable shuffle, quality floor
+    dedup       — exact + fuzzy dedup (MinHash-LSH incl. incremental,
+                  SimHash, n-gram Jaccard, components, decontamination)
+    similarity  — vector search (brute force, LSH, IVF, k-means, int8,
+                  product quantization + ADC)
+    textops     — text analysis (lang-id, quality, tokens, fingerprints,
+                  TF-IDF, surprisal, chunking, PII, corpus profile)
+    timeseries  — windows, sessionization (hand-rolled + built-in),
+                  as-of join, funnel, retention
     multimodal  — binary-column plumbing
-    streaming   — batch-equivalent window queries (stream tests in tests/)
+    streaming_queries — watermarked streams driven to completion and
+                  oracle-checked against batch SQL
 """
 
 from mock_map_reduce_spark.catalog import (  # noqa: F401

@@ -118,6 +118,8 @@ def test_lsh_group_pair_generation_plan(spark, sf_dir):
 #   similarity_kmeans:          8 broadcast centroids × corpus per round
 #   similarity_kmeans_pp:       ≤k broadcast seeds × hash-sampled pool
 #                               per k-center round
+#   approx_distinct_merged:     1-row merged-estimate × 1-row direct-
+#                               estimate crossJoin (scalar combine)
 _BOUNDED_BNLJ = {
     "similarity_topk_bruteforce",
     "similarity_ann_ivf",
@@ -125,6 +127,7 @@ _BOUNDED_BNLJ = {
     "similarity_kmeans_pp",
     "text_tfidf",
     "range_join_banded",
+    "approx_distinct_merged",
 }
 
 
