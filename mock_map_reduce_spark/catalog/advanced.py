@@ -135,3 +135,31 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_acctbal") < 0).cast("int").alias("overdrawn"),
         F.ifnull(F.lit(None).cast("long"), F.col("c_custkey")).alias("keyed"),
     )
+
+
+@query(
+    "try_error_handling",
+    oracle="""
+SELECT o_orderkey,
+       TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num,
+       TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+       ROUND(CASE WHEN o_custkey % 3 = 0 THEN NULL
+                  ELSE CAST(o_totalprice AS DOUBLE) / (o_custkey % 3) END, 4) AS try_div
+FROM orders
+""",
+)
+def q_try_error_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe error handling: try_cast yields NULL instead of
+    raising on malformed input, try_divide on division by zero — the
+    functions that keep a 100 TB job from dying on one bad row. The
+    oracle spells try_divide as an explicit CASE (DuckDB has TRY_CAST
+    but no try_divide)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias("prio_num"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("bad_cast"),
+        F.round(
+            F.expr("try_divide(CAST(o_totalprice AS DOUBLE), o_custkey % 3)"), 4
+        ).alias("try_div"),
+    )

@@ -432,3 +432,21 @@ ORDER BY stock_value DESC, l_partkey
     both engines.  Completes the 22-query TPC-H shape sweep
     (Q1=pricing_summary, catalog/relational.py).""",
 )
+
+
+_sql(
+    "sql_lateral_topk_per_nation",
+    """
+SELECT n_name, c_name, acctbal
+FROM nation, LATERAL (
+  SELECT c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+  FROM customer WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+)
+ORDER BY n_name, acctbal DESC
+""",
+    """LATERAL correlated subquery: per outer nation row, an ordered
+    limited inner query — the SQL-standard spelling of per-group
+    top-k. Catalyst decorrelates it into a ranked window join; both
+    engines parse the same text.""",
+)
