@@ -159,3 +159,26 @@ def test_map_only_curation_queries_shuffle_nothing(q):
     assert count_exchanges(q("curation_mixture_sample")) == 0
     assert count_exchanges(q("text_scrub_pii")) == 0
     assert count_exchanges(q("text_repetition")) == 0
+
+
+def test_join_hints_switch_physical_strategy(spark, sf_dir):
+    """The physical join strategy is user-steerable per join — hints
+    select broadcast / sort-merge / shuffle-hash plans for the SAME
+    logical join with identical results (the knob that matters when
+    stats mislead the planner at 100 TB)."""
+    from mock_map_reduce_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    want = None
+    for hint, node in [
+        ("BROADCAST", "BroadcastHashJoin"),
+        ("MERGE", "SortMergeJoin"),
+        ("SHUFFLE_HASH", "ShuffledHashJoin"),
+    ]:
+        j = orders.join(cust.hint(hint), orders.o_custkey == cust.c_custkey)
+        assert node in executed_plan(j), hint
+        got = sorted(map(tuple, j.select("o_orderkey", "c_mktsegment").collect()))
+        if want is None:
+            want = got
+        assert got == want, hint  # strategy never changes the answer
