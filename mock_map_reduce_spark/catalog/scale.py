@@ -233,8 +233,11 @@ def q_approx_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mock_map_reduce_spark.operators.wordcount import tokenize
 
     words = tokenize(load_table(spark, sf_dir, "documents"), "text")
+    # maxItemsTracked must comfortably exceed the distinct vocabulary or
+    # the sketch's counts go approximate and the equality gate below
+    # flips on a regenerated/bigger corpus (default 10000 is too tight).
     sk = words.agg(
-        F.expr(f"approx_top_k(word, {_TOP_K_WORDS})").alias("tk")
+        F.expr(f"approx_top_k(word, {_TOP_K_WORDS}, 100000)").alias("tk")
     ).select(F.posexplode("tk").alias("pos", "e"))
     exact = words.groupBy("word").agg(F.count("*").alias("exact_count"))
     return (

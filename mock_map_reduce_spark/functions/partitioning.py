@@ -13,6 +13,11 @@ def _input_bytes(df: DataFrame) -> int | None:
         files = df.inputFiles()
     except Exception:  # noqa: BLE001
         return None
+    if not files:
+        # No file scan behind this plan (in-memory, JDBC, derived source):
+        # size is unknowable, NOT "zero bytes" — callers must not mistake
+        # it for a small input and skip repartitioning a huge source.
+        return None
     total = 0
     for f in files:
         path = f.removeprefix("file://").removeprefix("file:")

@@ -422,15 +422,24 @@ def chunk_documents(
 
 
 def profile_features(
-    docs_in: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs_in: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_digest: bool = True,
 ) -> DataFrame:
     """Single-pass per-doc profile: (id, lang_pred, quality_score,
-    n_ws_tokens, n_chars) — the same columns language_id /
+    n_ws_tokens, n_chars[, __digest]) — the same columns language_id /
     quality_score / token_stats produce separately, computed in ONE
     projection so a corpus report reads the text column once instead
     of once per feature family (joining the per-operator outputs back
     on doc_id would shuffle per-doc rows once per family AND rescan
     the corpus per family — pure waste at 100 TB).
+
+    ``__digest`` is sha2(text, 256), emitted so downstream exact-dup
+    windows (q_profile_corpus's is_dup) ride the same single text
+    scan instead of re-reading the corpus; pass
+    ``include_digest=False`` when you don't need it — it is the one
+    expensive extra column in the projection.
     """
     toks = _word_tokens(text_col)
     n_toks = F.size(toks)
@@ -464,11 +473,13 @@ def profile_features(
         + distinct_ratio * 0.25
     )
     docs = spread(docs_in.select(id_col, text_col))
-    return docs.select(
+    cols = [
         F.col(id_col),
         F.when(best["score"] > 0, best["lang"]).otherwise("und").alias("lang_pred"),
         F.round(score, 6).alias("quality_score"),
         F.size(_ws_tokens(text_col)).cast("long").alias("n_ws_tokens"),
         n_chars.cast("long").alias("n_chars"),
-        F.sha2(F.col(text_col), 256).alias("__digest"),
-    )
+    ]
+    if include_digest:
+        cols.append(F.sha2(F.col(text_col), 256).alias("__digest"))
+    return docs.select(*cols)

@@ -129,3 +129,30 @@ def test_retention_cohorts_planted(spark):
         for r in ts.retention_cohorts(spark.createDataFrame(rows)).collect()
     }
     assert out == {("2024-01-01", 1): 1, ("2024-01-01", 2): 2}
+
+
+def test_testdata_has_no_exact_session_boundary_gap():
+    """session_windows_builtin's oracle equivalence rests on the testdata
+    containing no consecutive per-user gap of exactly 30 minutes (the
+    built-in session_window splits at >=, the lag/cumsum oracle at >).
+    The driver regenerates testdata between rounds — fail HERE, loudly,
+    rather than as an opaque hash mismatch in the correctness gate."""
+    import glob
+    import os
+
+    import duckdb
+
+    for sf_dir in sorted(glob.glob("/root/testdata/sf*")):
+        path = os.path.join(sf_dir, "events.parquet")
+        if not os.path.exists(path):
+            continue
+        (n,) = duckdb.sql(
+            f"""
+            SELECT count(*) FROM (
+              SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+              FROM read_parquet('{path}')
+            ) WHERE gap_us = 1800000000
+            """
+        ).fetchone()
+        assert n == 0, f"{path}: {n} exact 30-min gaps — session semantics diverge"
