@@ -20,6 +20,7 @@ size that down for video-scale blobs.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
@@ -27,6 +28,29 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from mock_map_reduce_spark.functions.partitioning import spread
+
+
+def _ship_module_by_value() -> None:
+    """Pickle this module's functions BY VALUE into worker closures.
+
+    ``image_features``' mapInPandas closure calls the module-level
+    codec functions (decode_image & co). cloudpickle serializes
+    module-level functions by REFERENCE, so executors would need the
+    repo on their sys.path — true when the driver process happens to
+    run from /root/repo (cwd import), silently broken from anywhere
+    else, and never true on a real cluster without --py-files.
+    Registering the module by value embeds the ~100 lines of codec
+    code in the serialized task instead, making the operators
+    location-independent (same effect as shipping a py-files zip,
+    without requiring session-build cooperation).
+    """
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:  # noqa: BLE001 - best-effort; cwd import still works
+        pass
+
 
 FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, mean_byte double, std_byte double, "
@@ -49,24 +73,212 @@ def attach_binary_payload(
 
 
 def decode_image(payload: bytes):
-    """Real decode path — stubbed: the image libraries are not installed.
+    """Decode an image payload to ``(width, height, rgb_bytes)``.
 
-    On a production image the try-import succeeds and this returns a
-    decoded array; here it documents the exact seam where decoding
-    plugs in.
+    REAL decode path, zero dependencies: dispatches on magic bytes to
+    the pure-stdlib PPM (P6) and BMP (24-bit) parsers below. Exotic
+    codecs (JPEG/PNG/video) would plug into this same seam via PIL /
+    ffmpeg when present; the try-import fallback keeps that seam
+    documented without making the engine depend on codec libraries.
     """
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - container has no PIL
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    try:  # pragma: no cover - container has no PIL
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        return img.width, img.height, img.tobytes()
+    except ImportError as exc:
         raise NotImplementedError(
-            "media decode requires an image library (PIL) not present in "
-            "this container; use byte_features() as the deterministic stub"
+            f"unrecognized image magic {payload[:2]!r} and no codec "
+            "library (PIL) present; built-in formats are PPM(P6) and "
+            "24-bit BMP"
         ) from exc
-    import io
 
-    from PIL import Image
 
-    return Image.open(io.BytesIO(payload))  # pragma: no cover
+# ---------------------------------------------------------------------------
+# Pure-stdlib image codecs (public formats: netpbm PPM P6, Windows BMP v3).
+# Encoders exist so tests and the catalog can synthesize payloads through a
+# DIFFERENT code path than the decoders parse — a header-offset or row-order
+# bug breaks the oracle-checked pixel statistics, not just a round-trip.
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(width: int, height: int, rgb: bytes, comment: str | None = None) -> bytes:
+    """Binary netpbm P6: 'P6 <w> <h> <maxval>' header + raw RGB rows."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    c = f"# {comment}\n" if comment else ""
+    return f"P6\n{c}{width} {height}\n255\n".encode("ascii") + rgb
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse binary PPM (P6): whitespace-separated header tokens with
+    '#' comments, then width*height*3 raw RGB bytes."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    pos += 1  # single whitespace byte after maxval, then raster
+    rgb = payload[pos : pos + width * height * 3]
+    if len(rgb) != width * height * 3:
+        raise ValueError("truncated PPM raster")
+    return width, height, rgb
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER): BGR pixel order,
+    rows bottom-up, each row padded to a 4-byte boundary."""
+    import struct
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    pad = (4 - (width * 3) % 4) % 4
+    raster = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = rgb[y * width * 3 : (y + 1) * width * 3]
+        for x in range(width):  # RGB -> BGR
+            raster += row[x * 3 : x * 3 + 3][::-1]
+        raster += b"\x00" * pad
+    offset = 14 + 40
+    return (
+        struct.pack("<2sIHHI", b"BM", offset + len(raster), 0, 0, offset)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+        + bytes(raster)
+    )
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse uncompressed 24-bit BMP into top-down RGB bytes."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp, = struct.unpack_from("<H", payload, 28)
+    compression, = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    rgb = bytearray(width * height * 3)
+    for out_y in range(height):
+        src_y = (height - 1 - out_y) if bottom_up else out_y
+        row = payload[offset + src_y * stride : offset + src_y * stride + width * 3]
+        for x in range(width):  # BGR -> RGB
+            rgb[(out_y * width + x) * 3 : (out_y * width + x) * 3 + 3] = row[
+                x * 3 : x * 3 + 3
+            ][::-1]
+    return width, height, bytes(rgb)
+
+
+def synthesize_image(doc_id: int) -> bytes:
+    """Deterministic synthetic image for ``doc_id`` — PPM for even ids,
+    BMP for odd, so BOTH decoders sit on the oracle-checked path.
+
+    Pixel law (kept wrap-free so per-channel means are closed-form and
+    a SQL oracle can state them exactly):
+        width  = 8 + doc_id % 9          (8..16)
+        height = 8 + doc_id % 5          (8..12)
+        r(x,y) = doc_id % 64 + x         (max 63+15 < 256)
+        g(x,y) = doc_id % 32 + y         (max 31+11 < 256)
+        b(x,y) = x + y                   (max 15+11 < 256)
+    Hence mean_r = doc_id%64 + (w-1)/2, mean_g = doc_id%32 + (h-1)/2,
+    mean_b = (w-1)/2 + (h-1)/2, and the top row's g mean is exactly
+    doc_id%32 — which catches a forgotten BMP bottom-up flip that
+    whole-image means cannot see.
+    """
+    w, h = 8 + doc_id % 9, 8 + doc_id % 5
+    rgb = bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in (doc_id % 64 + x, doc_id % 32 + y, x + y)
+    )
+    if doc_id % 2 == 0:
+        return encode_ppm(w, h, rgb, comment=f"doc {doc_id}")
+    return encode_bmp(w, h, rgb)
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, mean_r double, mean_g double, "
+    "mean_b double, top_row_g double"
+)
+
+
+def image_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode image payloads (PPM/BMP via ``decode_image``) and emit
+    per-image pixel statistics — the real decode path exercised end to
+    end, Arrow-batched, payload dropped before anything shuffles."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                w, h, rgb = decode_image(bytes(payload))
+                px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+                means = px.mean(axis=(0, 1))
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        float(means[0]),
+                        float(means[1]),
+                        float(means[2]),
+                        float(px[0, :, 1].mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "top_row_g",
+                ],
+            )
+
+    return spread(media.select(id_col, "payload"), heavy=True).mapInPandas(
+        extract, IMAGE_FEATURE_SCHEMA
+    )
+
+
+def synthesize_image_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic image payload per doc id (the encoder
+    side of the codec pair; ``image_features`` decodes it back)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [synthesize_image(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(build, "doc_id long, payload binary")
+
+
+_ship_module_by_value()
 
 
 def byte_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:

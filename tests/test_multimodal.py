@@ -37,9 +37,82 @@ def test_byte_features_hand_computed(media):
     assert (rows[3].std_byte, rows[3].entropy_proxy) == (0.0, 0.0)
 
 
-def test_decode_image_stub_raises():
-    with pytest.raises(NotImplementedError, match="image library"):
+def test_decode_image_unknown_magic_raises():
+    with pytest.raises(NotImplementedError, match="PPM"):
         mm.decode_image(b"\x89PNG\r\n")
+
+
+def test_ppm_round_trip_and_comment_parsing():
+    rgb = bytes(range(2 * 3 * 3))  # 3x2 image
+    payload = mm.encode_ppm(3, 2, rgb, comment="hello 42")
+    assert payload.startswith(b"P6\n# hello 42\n3 2\n255\n")
+    assert mm.decode_ppm(payload) == (3, 2, rgb)
+    assert mm.decode_image(payload) == (3, 2, rgb)
+
+
+def test_ppm_golden_bytes():
+    # hand-built payload through neither encoder: parser-only check
+    payload = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    assert mm.decode_ppm(payload) == (2, 1, bytes([10, 20, 30, 40, 50, 60]))
+
+
+def test_bmp_round_trip_padding_and_row_order():
+    # width 3 -> 9-byte rows padded to 12; two distinct rows catch a
+    # missing bottom-up flip, asymmetric channels catch BGR confusion
+    top = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9])
+    bottom = bytes([91, 92, 93, 94, 95, 96, 97, 98, 99])
+    payload = mm.encode_bmp(3, 2, top + bottom)
+    w, h, rgb = mm.decode_bmp(payload)
+    assert (w, h) == (3, 2)
+    assert rgb == top + bottom
+    assert mm.decode_image(payload) == (3, 2, top + bottom)
+
+
+def test_bmp_golden_layout():
+    # encoder writes bottom-up BGR with padding: verify raw raster bytes
+    payload = mm.encode_bmp(1, 2, bytes([10, 20, 30, 40, 50, 60]))
+    offset = 54
+    # bottom row (40,50,60) first, as BGR, padded to 4
+    assert payload[offset : offset + 8] == bytes([60, 50, 40, 0, 30, 20, 10, 0])
+
+
+def test_synthesize_image_formats_and_pixel_law():
+    import numpy as np
+
+    for doc_id in (0, 1, 17, 64, 123):
+        payload = mm.synthesize_image(doc_id)
+        assert payload[:2] == (b"P6" if doc_id % 2 == 0 else b"BM")
+        w, h, rgb = mm.decode_image(payload)
+        assert (w, h) == (8 + doc_id % 9, 8 + doc_id % 5)
+        px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        assert px[0, 0].tolist() == [doc_id % 64, doc_id % 32, 0]
+        assert math.isclose(px[..., 0].mean(), doc_id % 64 + (w - 1) / 2)
+        assert math.isclose(px[..., 1].mean(), doc_id % 32 + (h - 1) / 2)
+        assert math.isclose(px[..., 2].mean(), (w - 1) / 2 + (h - 1) / 2)
+        assert math.isclose(px[0, :, 1].mean(), doc_id % 32)
+
+
+def test_image_features_catches_planted_decode_bug(spark):
+    """image_features over synthesized payloads reproduces the closed
+    form; a deliberately row-flipped BMP payload flips top_row_g."""
+    docs = spark.createDataFrame([Row(doc_id=6), Row(doc_id=7)])
+    rows = {r.doc_id: r for r in mm.image_features(mm.synthesize_image_table(docs)).collect()}
+    for doc_id in (6, 7):
+        r = rows[doc_id]
+        w, h = 8 + doc_id % 9, 8 + doc_id % 5
+        assert (r.width, r.height) == (w, h)
+        assert math.isclose(r.mean_r, doc_id % 64 + (w - 1) / 2)
+        assert math.isclose(r.top_row_g, doc_id % 32)
+    # planted bug: re-encode doc 7's pixels with rows reversed — means
+    # survive but the row-order-sensitive feature must move
+    w, h, rgb = mm.decode_image(mm.synthesize_image(7))
+    flipped = b"".join(
+        rgb[y * w * 3 : (y + 1) * w * 3] for y in range(h - 1, -1, -1)
+    )
+    bad = spark.createDataFrame([Row(doc_id=7, payload=mm.encode_bmp(w, h, flipped))])
+    r = mm.image_features(bad).collect()[0]
+    assert math.isclose(r.mean_g, 7 % 32 + (h - 1) / 2)  # mean unchanged
+    assert math.isclose(r.top_row_g, 7 % 32 + (h - 1))  # flip detected
 
 
 def test_frame_sample_one_to_many(spark):
