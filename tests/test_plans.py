@@ -182,3 +182,43 @@ def test_join_hints_switch_physical_strategy(spark, sf_dir):
         if want is None:
             want = got
         assert got == want, hint  # strategy never changes the answer
+
+
+def test_spread_policy_heavy_vs_light(spark, sf_dir):
+    """Pin the adaptive spread() policy (functions/partitioning.py) —
+    load-bearing for both bench latency and 100 TB behavior:
+      * heavy=True + under-parallel: repartition even on a tiny source
+        (per-row md5/vector folds must not run on one core);
+      * light + small file-backed source: NO shuffle (a single-core
+        scan of a few MB beats moving it);
+      * no file scan behind the plan: size is UNKNOWN, not zero —
+        under-parallel non-file sources must still spread."""
+    from mock_map_reduce_spark.functions.partitioning import spread
+    from mock_map_reduce_spark.plans import executed_plan
+    from mock_map_reduce_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = spark.sparkContext.defaultParallelism
+    assert docs.rdd.getNumPartitions() < max(2, n // 2)  # under-parallel here
+    assert "RoundRobinPartitioning" in executed_plan(spread(docs, heavy=True))
+    assert spread(docs) is docs  # light + small: identical no-op
+    mem = spark.range(100).toDF("doc_id").coalesce(1)
+    assert "RoundRobinPartitioning" in executed_plan(spread(mem))
+
+
+def test_heavy_catalog_queries_spread_when_under_parallel(q):
+    """Every catalog family doing per-row-heavy work (md5 shingles,
+    vector folds, Arrow-batched decode) plans the spread repartition
+    at this under-parallel SF; a new heavy operator that forgets
+    spread(heavy=True) fails here."""
+    from mock_map_reduce_spark.plans import executed_plan
+
+    for name in (
+        "dedup_minhash_signatures",
+        "dedup_simhash",
+        "similarity_topk_bruteforce",
+        "similarity_pq_codes",
+        "multimodal_byte_features",
+        "multimodal_image_features",
+    ):
+        assert "RoundRobinPartitioning" in executed_plan(q(name)), name
