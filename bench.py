@@ -40,9 +40,12 @@ HEADLINE = [
     "dedup_lsh_candidates",
     "dedup_ngram_jaccard",
     "similarity_topk_bruteforce",
+    "similarity_pq_adc_topk",
     "text_tfidf",
+    "text_rank_surprisal",
     "session_windows",
     "asof_join_purchases",
+    "multimodal_image_features",
 ]
 
 
