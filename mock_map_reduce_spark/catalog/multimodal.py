@@ -79,3 +79,65 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = mm.synthesize_image_table(docs)
     return mm.image_features(media)
+
+
+@query(
+    "multimodal_audio_features",
+    oracle="""
+SELECT doc_id,
+       CAST(8000 + (doc_id % 5) * 1000 AS INT) AS sample_rate,
+       CAST(32 * (8 + doc_id % 9) AS BIGINT) AS n_samples,
+       CAST(doc_id % 1000 - 500 + 15.5 AS DOUBLE) AS mean_sample,
+       CAST(doc_id % 1000 - 500 + 31 AS INT) AS peak,
+       CAST((doc_id % 1000 - 500) * (doc_id % 1000 - 500)
+            + 31 * (doc_id % 1000 - 500) + 325.5 AS DOUBLE) AS energy
+FROM documents
+""",
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-checked end to end.
+
+    Each doc gets a deterministic mono 16-bit PCM WAV (RIFF) clip —
+    every third with a junk LIST chunk, so the decoder must genuinely
+    walk the chunk list — and ``audio_features`` parses the fmt/data
+    chunks back inside mapInPandas. The sawtooth sample law spans
+    whole periods, so mean/peak/energy are closed-form
+    (operators/multimodal.synthesize_audio): a header-offset,
+    chunk-walk, or endianness bug fails the value hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.synthesize_audio_table(docs)
+    return mm.audio_features(media)
+
+
+@query(
+    "multimodal_video_frames",
+    oracle="""
+SELECT doc_id,
+       CAST(u.t AS INT) AS t,
+       CAST(8 + doc_id % 9 AS INT) AS width,
+       CAST(8 + doc_id % 5 AS INT) AS height,
+       CAST((7 + doc_id % 9) / 2.0 + (7 + doc_id % 5) / 2.0 + u.t AS DOUBLE)
+           AS frame_mean_b
+FROM documents,
+     UNNEST(range(0, CAST(4 + doc_id % 5 AS BIGINT), 2)) AS u(t)
+""",
+)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-frame decode + sampling, oracle-checked end to end.
+
+    Each doc gets a concatenated-P6 PPM stream (the public netpbm /
+    ffmpeg image2pipe 'video' container) of 4..8 frames; the blue
+    channel carries +t per frame t, so the per-frame rows prove the
+    stream parser found each frame boundary. video_frame_features
+    keeps every 2nd frame (1-to-N UDTF shape with a real decoder; the
+    byte-chunking frame_sample stays as the codec-free primitive) and
+    the oracle enumerates the same (doc, t) lattice with the
+    closed-form blue mean.
+
+    Scale: fan-out is rows x frames of FEATURE rows — the payload is
+    dropped at the operator edge and never shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.synthesize_video_table(docs)
+    return mm.video_frame_features(media)

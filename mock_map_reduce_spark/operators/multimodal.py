@@ -119,13 +119,21 @@ def encode_ppm(width: int, height: int, rgb: bytes, comment: str | None = None) 
 def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     """Parse binary PPM (P6): whitespace-separated header tokens with
     '#' comments, then width*height*3 raw RGB bytes."""
-    if payload[:2] != b"P6":
-        raise ValueError("not a P6 PPM payload")
-    pos, tokens = 2, []
+    width, height, rgb, _end = _decode_ppm_at(payload, 0)
+    return width, height, rgb
+
+
+def _decode_ppm_at(payload: bytes, pos: int) -> tuple[int, int, bytes, int]:
+    """Parse one P6 frame starting at ``pos``; also return end offset
+    (the primitive behind PPM stream/video decode)."""
+    if payload[pos : pos + 2] != b"P6":
+        raise ValueError(f"no P6 magic at offset {pos}")
+    pos += 2
+    tokens: list[int] = []
     while len(tokens) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
-        if payload[pos : pos + 1] == b"#":  # comment runs to end of line
+        if payload[pos : pos + 1] == b"#":
             while pos < len(payload) and payload[pos : pos + 1] != b"\n":
                 pos += 1
             continue
@@ -136,11 +144,23 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     width, height, maxval = tokens
     if maxval != 255:
         raise ValueError(f"only maxval 255 supported, got {maxval}")
-    pos += 1  # single whitespace byte after maxval, then raster
-    rgb = payload[pos : pos + width * height * 3]
+    pos += 1
+    end = pos + width * height * 3
+    rgb = payload[pos:end]
     if len(rgb) != width * height * 3:
         raise ValueError("truncated PPM raster")
-    return width, height, rgb
+    return width, height, rgb, end
+
+
+def decode_ppm_stream(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """Decode a concatenated-P6 stream (netpbm animation / ffmpeg
+    image2pipe format): back-to-back P6 frames in one payload — the
+    simplest public 'video' container."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        w, h, rgb, pos = _decode_ppm_at(payload, pos)
+        frames.append((w, h, rgb))
+    return frames
 
 
 def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
@@ -272,6 +292,202 @@ def synthesize_image_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "payload": [synthesize_image(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(build, "doc_id long, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# Audio: RIFF/WAVE PCM codec (public format), synthetic waveforms with
+# closed-form statistics, and an Arrow-batched feature extractor.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(sample_rate: int, samples, extra_chunk: bool = False) -> bytes:
+    """Mono 16-bit PCM WAV (RIFF): 'fmt ' chunk + optional junk 'LIST'
+    chunk (so decoders must actually WALK chunks) + 'data' chunk."""
+    import struct
+
+    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    chunks = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    if extra_chunk:  # unrelated metadata chunk decoders must skip
+        chunks += struct.pack("<4sI", b"LIST", 8) + b"INFOmeta"
+    chunks += struct.pack("<4sI", b"data", len(data)) + data
+    if len(data) % 2:  # RIFF chunks are word-aligned
+        chunks += b"\x00"
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(chunks), b"WAVE") + chunks
+
+
+def decode_wav(payload: bytes) -> tuple[int, list[int]]:
+    """Parse RIFF/WAVE: walk chunks, require PCM mono 16-bit, return
+    (sample_rate, samples)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if (fmt, channels, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"only PCM mono 16-bit supported (fmt={fmt}, ch={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            samples = list(struct.unpack(f"<{size // 2}h", body[: size // 2 * 2]))
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, samples
+
+
+def synthesize_audio(doc_id: int) -> bytes:
+    """Deterministic synthetic waveform with closed-form statistics.
+
+    Sawtooth: s(i) = base + (i mod 32) with base = doc_id%1000 - 500
+    over n = 32*(8 + doc_id%9) samples at rate 8000 + (doc_id%5)*1000.
+    n is a multiple of the period, so over the whole clip:
+        mean   = base + 15.5
+        peak   = base + 31
+        energy = mean(s^2) = base^2 + 31*base + 325.5
+    (sum u^2 for u=0..31 is 10416; /32 = 325.5 — all exact in float.)
+    Every third doc carries a junk LIST chunk before data.
+    """
+    base = doc_id % 1000 - 500
+    n = 32 * (8 + doc_id % 9)
+    return encode_wav(
+        8000 + (doc_id % 5) * 1000,
+        (base + (i % 32) for i in range(n)),
+        extra_chunk=doc_id % 3 == 0,
+    )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, mean_sample double, "
+    "peak int, energy double"
+)
+
+
+def audio_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode WAV payloads and emit per-clip statistics (rate from the
+    fmt chunk, moments from the PCM data) — payload never shuffles."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                rate, samples = decode_wav(bytes(payload))
+                arr = np.asarray(samples, dtype=np.float64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        rate,
+                        int(arr.size),
+                        float(arr.mean()),
+                        int(arr.max()),
+                        float((arr * arr).mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "mean_sample", "peak", "energy",
+                ],
+            )
+
+    return spread(media.select(id_col, "payload"), heavy=True).mapInPandas(
+        extract, AUDIO_FEATURE_SCHEMA
+    )
+
+
+def synthesize_audio_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic WAV payload per doc id."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [synthesize_audio(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(build, "doc_id long, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# Video: concatenated-PPM stream (netpbm / ffmpeg image2pipe), frame
+# sampling with a REAL frame decoder (vs frame_sample's byte chunking).
+# ---------------------------------------------------------------------------
+
+
+def synthesize_video(doc_id: int) -> bytes:
+    """Deterministic PPM-stream clip: F = 4 + doc_id%5 frames sharing
+    the image pixel law, plus +t on the blue channel per frame t —
+    so frame identity (and hence stream-boundary parsing) is
+    observable in the statistics. Wrap-free: b <= 15+11+8 < 256."""
+    w, h = 8 + doc_id % 9, 8 + doc_id % 5
+    frames = []
+    for t in range(4 + doc_id % 5):
+        rgb = bytes(
+            v
+            for y in range(h)
+            for x in range(w)
+            for v in (doc_id % 64 + x, doc_id % 32 + y, x + y + t)
+        )
+        frames.append(encode_ppm(w, h, rgb, comment=f"frame {t}" if t % 2 else None))
+    return b"".join(frames)
+
+
+VIDEO_FRAME_SCHEMA = "doc_id long, t int, width int, height int, frame_mean_b double"
+
+
+def video_frame_features(
+    media: DataFrame, stride: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode a PPM-stream payload, keep every ``stride``-th frame,
+    emit one row per sampled frame (the 1-to-N video primitive with a
+    REAL frame decoder). Payloads are dropped at the operator edge;
+    only per-frame feature rows flow on."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                for t, (w, h, rgb) in enumerate(decode_ppm_stream(bytes(payload))):
+                    if t % stride:
+                        continue
+                    px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+                    rows.append(
+                        (int(doc_id), t, w, h, float(px[..., 2].mean()))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "t", "width", "height", "frame_mean_b"]
+            )
+
+    return spread(media.select(id_col, "payload"), heavy=True).mapInPandas(
+        extract, VIDEO_FRAME_SCHEMA
+    )
+
+
+def synthesize_video_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic PPM-stream payload per doc id."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [synthesize_video(int(i)) for i in pdf[id_col]],
                 }
             )
 

@@ -142,3 +142,82 @@ def test_resize_payload(spark):
     assert bytes(rows[1].payload) == b"ae"  # every 4th byte
     assert rows[1].n_bytes == 2
     assert (bytes(rows[2].payload), rows[2].n_bytes) == (b"", 0)
+
+
+def test_wav_round_trip_and_chunk_walk():
+    samples = [0, 100, -100, 32767, -32768, 7]
+    for extra in (False, True):
+        payload = mm.encode_wav(16000, samples, extra_chunk=extra)
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        rate, out = mm.decode_wav(payload)
+        assert (rate, out) == (16000, samples)
+    # odd-length data chunk gets a RIFF pad byte; decode must not trip
+    rate, out = mm.decode_wav(mm.encode_wav(8000, [5]))
+    assert (rate, out) == (8000, [5])
+
+
+def test_wav_golden_header_layout():
+    import struct
+
+    payload = mm.encode_wav(8000, [1, -2])
+    # fmt chunk at offset 12: PCM(1), mono(1), rate, byterate, align, bits
+    assert struct.unpack_from("<4sIHHIIHH", payload, 12) == (
+        b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+    # data chunk follows: little-endian int16 samples
+    assert struct.unpack_from("<4sI", payload, 36) == (b"data", 4)
+    assert payload[44:48] == struct.pack("<hh", 1, -2)
+
+
+def test_wav_rejects_unsupported():
+    import struct
+
+    stereo = bytearray(mm.encode_wav(8000, [1, 2]))
+    struct.pack_into("<H", stereo, 12 + 8 + 2, 2)  # channels=2
+    with pytest.raises(ValueError, match="mono"):
+        mm.decode_wav(bytes(stereo))
+    with pytest.raises(ValueError, match="RIFF"):
+        mm.decode_wav(b"OggS\x00\x00")
+
+
+def test_synthesize_audio_closed_form():
+    import numpy as np
+
+    for doc_id in (0, 3, 17, 999, 1234):
+        rate, samples = mm.decode_wav(mm.synthesize_audio(doc_id))
+        base = doc_id % 1000 - 500
+        arr = np.asarray(samples, dtype=np.float64)
+        assert rate == 8000 + (doc_id % 5) * 1000
+        assert arr.size == 32 * (8 + doc_id % 9)
+        assert math.isclose(arr.mean(), base + 15.5)
+        assert int(arr.max()) == base + 31
+        assert math.isclose((arr * arr).mean(), base * base + 31 * base + 325.5)
+
+
+def test_ppm_stream_boundaries_and_comments():
+    f0 = mm.encode_ppm(2, 1, bytes([1, 2, 3, 4, 5, 6]))
+    f1 = mm.encode_ppm(1, 2, bytes([7, 8, 9, 10, 11, 12]), comment="mid frame")
+    frames = mm.decode_ppm_stream(f0 + f1)
+    assert frames == [
+        (2, 1, bytes([1, 2, 3, 4, 5, 6])),
+        (1, 2, bytes([7, 8, 9, 10, 11, 12])),
+    ]
+    with pytest.raises(ValueError, match="magic"):
+        mm.decode_ppm_stream(f0 + b"garbage")
+
+
+def test_video_frame_features_law(spark):
+    import numpy as np
+
+    doc_id = 14  # 4 + 14%5 = 8 frames, stride 2 -> t in {0, 2, 4, 6}
+    frames = mm.decode_ppm_stream(mm.synthesize_video(doc_id))
+    assert len(frames) == 4 + doc_id % 5
+    w, h = 8 + doc_id % 9, 8 + doc_id % 5
+    for t, (fw, fh, rgb) in enumerate(frames):
+        assert (fw, fh) == (w, h)
+        px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        assert math.isclose(px[..., 2].mean(), (w - 1) / 2 + (h - 1) / 2 + t)
+    docs = spark.createDataFrame([Row(doc_id=doc_id)])
+    rows = mm.video_frame_features(mm.synthesize_video_table(docs)).collect()
+    assert sorted(r.t for r in rows) == [0, 2, 4, 6]
+    for r in rows:
+        assert math.isclose(r.frame_mean_b, (w - 1) / 2 + (h - 1) / 2 + r.t)

@@ -220,5 +220,7 @@ def test_heavy_catalog_queries_spread_when_under_parallel(q):
         "similarity_pq_codes",
         "multimodal_byte_features",
         "multimodal_image_features",
+        "multimodal_audio_features",
+        "multimodal_video_frames",
     ):
         assert "RoundRobinPartitioning" in executed_plan(q(name)), name
