@@ -265,3 +265,29 @@ def q_session_windows_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "n_events", "session_start", "duration_s")
     )
+
+
+@query(
+    "timeseries_rollup_two_level",
+    oracle=f"""
+WITH {_E}
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, t), '{_FMT}') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+       CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+FROM e
+GROUP BY 1, 2
+""",
+)
+def q_timeseries_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup: per-minute mergeable partials
+    (n, Σ, min, max) merged into hourly rows, checked against the
+    oracle's DIRECT hourly aggregation of raw events — the two-level
+    plan and the one-level plan must agree cell for cell, proving the
+    re-aggregation algebra a 100 TB hypertable rollup depends on
+    (operators/timeseries.rollup_two_level).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return ts.rollup_two_level(events, group_cols=["event_type"])

@@ -240,3 +240,53 @@ def retention_cohorts(
             "n_active",
         )
     )
+
+
+def rollup_two_level(
+    events: DataFrame,
+    small: str = "1 minute",
+    big: str = "1 hour",
+    ts_col: str = "ts",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: fine-grained
+    partial summaries re-aggregated into coarse buckets.
+
+    Level 1 groups raw events into ``small`` windows keeping only
+    MERGEABLE state (n, Σ, min, max — exact decimals); level 2 reads
+    NOTHING but those partials and merges them into ``big`` windows
+    (sum of n, sum of Σ, min of min, max of max). This is the pattern
+    that lets a 100 TB event hypertable answer hour/day/month queries
+    from minute-sized materialized state instead of rescanning raw
+    events — and because the state is re-aggregatable, the same
+    partials serve every coarser granularity. The matching oracle
+    aggregates the RAW events directly at the coarse level, proving
+    the merge algebra exact.
+    """
+    gcols = group_cols or []
+    v = F.col("value").cast("decimal(18,2)")
+    partials = events.groupBy(
+        F.window(F.col(ts_col), small).alias("w"), *gcols
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("s"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+    )
+    return (
+        partials.groupBy(F.window(F.col("w.start"), big).alias("w"), *gcols)
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").cast("double").alias("total_value"),
+            F.min("mn").cast("double").alias("min_value"),
+            F.max("mx").cast("double").alias("max_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            *gcols,
+            "n_events",
+            "total_value",
+            "min_value",
+            "max_value",
+        )
+    )

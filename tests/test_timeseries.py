@@ -156,3 +156,34 @@ def test_testdata_has_no_exact_session_boundary_gap():
             """
         ).fetchone()
         assert n == 0, f"{path}: {n} exact 30-min gaps — session semantics diverge"
+
+
+def test_rollup_two_level_matches_direct(spark):
+    """The minute->hour merge must equal a direct hourly aggregation
+    (count/sum/min/max are re-aggregatable; exact decimals)."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from mock_map_reduce_spark.operators import timeseries as ts
+
+    rows = [
+        Row(event_id=i, user_id=1, ts=datetime(2024, 1, 1, h, m), event_type=t, value=v)
+        for i, (h, m, t, v) in enumerate(
+            [
+                (0, 1, "a", 1.25), (0, 1, "a", 2.50), (0, 59, "a", -3.10),
+                (0, 30, "b", 0.01), (1, 0, "a", 7.77), (1, 59, "b", -0.02),
+            ]
+        )
+    ]
+    events = spark.createDataFrame(rows)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value, r.min_value, r.max_value)
+        for r in ts.rollup_two_level(events, group_cols=["event_type"]).collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", "a"): (3, 0.65, -3.10, 2.50),
+        ("2024-01-01 00:00:00", "b"): (1, 0.01, 0.01, 0.01),
+        ("2024-01-01 01:00:00", "a"): (1, 7.77, 7.77, 7.77),
+        ("2024-01-01 01:00:00", "b"): (1, -0.02, -0.02, -0.02),
+    }
