@@ -224,3 +224,14 @@ def test_heavy_catalog_queries_spread_when_under_parallel(q):
         "multimodal_video_frames",
     ):
         assert "RoundRobinPartitioning" in executed_plan(q(name)), name
+
+
+def test_rollup_two_level_plan(q):
+    """Two exchanges only (minute key, hour key), each fed by a
+    partial+final HashAggregate pair — the coarse level reads partial
+    state, never raw events."""
+    from mock_map_reduce_spark.plans import count_exchanges, executed_plan
+
+    df = q("timeseries_rollup_two_level")
+    assert count_exchanges(df) == 2
+    assert executed_plan(df).count("HashAggregate") == 4
