@@ -101,6 +101,8 @@ PRIORITY: list[str] = [
     # §2.1 rows whose covering queries lack a driver row (U1, P2)
     "union_tagged",
     "string_funcs",
+    # new in r5: real audio decode (image rep already at the front)
+    "multimodal_audio_features",
     # remaining never-sampled (positions ≥50 — lowest-risk scalar demos
     # plus the kmeans++ variant whose sibling is sampled;
     # next round's rotation picks these up)
