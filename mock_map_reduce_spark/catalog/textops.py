@@ -438,3 +438,33 @@ def q_profile_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_quality"),
     )
+
+
+@query(
+    "text_bpe_pairs",
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split_regex(text, '[^A-Za-z]+')) AS word
+  FROM documents
+),
+pairs AS (
+  SELECT substring(word, CAST(u.i AS INT), 2) AS pair
+  FROM words, UNNEST(range(1, length(word))) AS u(i)
+  WHERE length(word) >= 2
+)
+SELECT pair, COUNT(*) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 20
+""",
+)
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One byte-pair-encoding trainer round: the corpus's top-20
+    adjacent character pairs (operators/text.bpe_pair_counts). The
+    most frequent pair is the next BPE merge; the trainer is this
+    aggregation iterated with a growing symbol alphabet. Tie-break
+    (count DESC, pair ASC) keeps the cut deterministic in both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bpe_pair_counts(docs, top_k=20)

@@ -483,3 +483,37 @@ def profile_features(
     if include_digest:
         cols.append(F.sha2(F.col(text_col), 256).alias("__digest"))
     return docs.select(*cols)
+
+
+def bpe_pair_counts(
+    docs_in: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """One BPE-trainer round: corpus-wide adjacent-symbol-pair counts
+    (symbols = characters on round 0; the most frequent pair is the
+    next merge — iterating this aggregation IS byte-pair-encoding
+    training).
+
+    Scale shape: the pair explode emits length-1 rows per word via
+    codegen'd sequence→transform→substring (no Python, no UDF);
+    map-side partial aggregation collapses each partition to one row
+    per distinct pair (pair vocabulary ≪ corpus, so the exchange is
+    tiny); top-k is a TakeOrdered bounded heap, never a global sort.
+    Ties break on (count DESC, pair ASC) so the cut is deterministic
+    across engines and retries.
+    """
+    words = (
+        spread(docs_in.select(text_col))
+        .select(F.explode(F.split(F.col(text_col), "[^A-Za-z]+")).alias("word"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )

@@ -187,3 +187,29 @@ def test_chunk_documents_windows(spark):
     assert set(out) == {(1, 0), (1, 1), (2, 0), (3, 0)}
     # consecutive chunks overlap by chunk_tokens - stride = 16 tokens
     assert out[(1, 0)][1].split()[48:] == out[(1, 1)][1].split()[:16]
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    from pyspark.sql import Row
+
+    from mock_map_reduce_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="aba abab"), Row(doc_id=2, text="x ab!ba")]
+    )
+    # words (len>=2): "aba", "abab", "ab", "ba"
+    # pairs: aba->[ab,ba]; abab->[ab,ba,ab]; ab->[ab]; ba->[ba]
+    # counts: ab=4, ba=3
+    rows = [(r.pair, r.n) for r in tx.bpe_pair_counts(docs, top_k=5).collect()]
+    assert rows == [("ab", 4), ("ba", 3)]
+
+
+def test_bpe_pair_counts_plan_is_bounded(spark, sf_dir):
+    """TakeOrdered bounded heap + partial agg — never a global sort."""
+    from mock_map_reduce_spark.operators import text as tx
+    from mock_map_reduce_spark.plans import executed_plan
+    from mock_map_reduce_spark.sources import load_table
+
+    plan = executed_plan(tx.bpe_pair_counts(load_table(spark, sf_dir, "documents")))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
