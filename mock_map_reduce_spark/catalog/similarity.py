@@ -413,3 +413,69 @@ def q_similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, search never touches the float corpus — codes + LUT only."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.ann_topk_pq_adc(emb, dim=EMB_DIM, n_queries=N_QUERIES, m=PQ_M, k=PQ_K, top_k=TOP_K)
+
+
+@query(
+    "similarity_ann_ivf_pq",
+    oracle=f"""
+WITH {_V},
+{_PQ_SUBS},
+cent AS (SELECT vec_id AS centroid_id, e AS cent FROM v WHERE vec_id < {N_CELLS}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, cent.centroid_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos("v.e", "cent.cent")} DESC, cent.centroid_id) AS rn
+    FROM v CROSS JOIN cent
+  ) WHERE rn = 1
+),
+cb AS (SELECT vec_id AS code_id, subspace, sv AS cv FROM sub WHERE vec_id < {PQ_K}),
+codes AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT s.vec_id, s.subspace, cb.code_id AS code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.subspace
+                              ORDER BY {_SQD.format(a="s.sv", b="cb.cv")}, cb.code_id) AS rn
+    FROM sub s JOIN cb USING (subspace)
+  ) WHERE rn = 1
+),
+qcell AS (SELECT vec_id AS query_id, cell AS qcell FROM assign WHERE vec_id < {N_QUERIES}),
+lut AS (
+  SELECT q.vec_id AS query_id, qcell.qcell, q.subspace, cb.code_id,
+         {_SQD.format(a="q.sv", b="cb.cv")} AS d
+  FROM sub q JOIN cb USING (subspace)
+       JOIN qcell ON q.vec_id = qcell.query_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+hits AS (
+  SELECT lut.query_id, codes.vec_id, codes.subspace AS s, lut.d
+  FROM codes
+       JOIN assign a ON codes.vec_id = a.vec_id
+       JOIN lut ON codes.subspace = lut.subspace AND codes.code = lut.code_id
+                AND a.cell = lut.qcell
+),
+agg AS (
+  SELECT query_id, vec_id,
+         {" + ".join(f"SUM(CASE WHEN s = {s} THEN d END)" for s in range(PQ_M))} AS adist
+  FROM hits GROUP BY query_id, vec_id
+)
+SELECT query_id, neighbor_id, adist, rank FROM (
+  SELECT query_id, vec_id AS neighbor_id, round(adist, 6) AS adist,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+  FROM agg WHERE vec_id <> query_id
+) WHERE rank <= {TOP_K}
+""",
+)
+def q_similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the canonical billion-scale ANN layout, fully
+    oracle-checked end to end — deterministic seed-vector coarse
+    centroids assign every vector a cell; PQ codes (same seed-vector
+    codebooks as similarity_pq_codes) represent the corpus; search
+    scores only the query's cell's codes against a broadcast ADC
+    lookup table (operators/similarity.ann_topk_ivf_pq). Composes the
+    two independently-verified index stages and proves the
+    composition exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CELLS)
+    return sim.ann_topk_ivf_pq(
+        emb, centroids, dim=EMB_DIM, n_queries=N_QUERIES, m=PQ_M, k=PQ_K, top_k=TOP_K
+    )

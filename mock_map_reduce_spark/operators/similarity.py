@@ -500,6 +500,13 @@ def ann_topk_pq_adc(
         F.broadcast(lut),
         (codes.subspace == lut.subspace) & (codes.code == lut.code_id),
     ).select(F.col(id_col), "query_id", codes.subspace.alias("s"), "d")
+    return _adc_rank(hits, m, top_k, id_col)
+
+
+def _adc_rank(hits: DataFrame, m: int, top_k: int, id_col: str) -> DataFrame:
+    """Shared ADC tail: fixed-subspace-order one-hot sums (bit-
+    deterministic — a bare SUM over a float group is partition-order-
+    dependent at the last ulp) + per-query bounded ranking."""
     per_sub = [
         F.sum(F.when(F.col("s") == s, F.col("d"))).alias(f"d{s}") for s in range(m)
     ]
@@ -516,3 +523,64 @@ def ann_topk_pq_adc(
         .filter(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", F.round("adist", 6).alias("adist"), "rank")
     )
+
+
+def ann_topk_ivf_pq(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    n_queries: int,
+    m: int = 4,
+    k: int = 8,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search — the canonical billion-scale ANN index layout:
+    coarse IVF cells prune the candidate set, PQ-ADC scores only the
+    survivors. The inverted lists store CODES (plus the cell id from
+    the build pass); search is a per-query LUT broadcast against the
+    query's cell's codes — nprobe=1 here, matching ann_topk_ivf.
+
+    100 TB shape: per query the scan cost is |cell| code rows
+    (corpus/n_cells), each 12 bits at (m=4, k=8), and with the cells
+    as partition keys at rest (tests/test_ivf_storage.py) the probe is
+    a partition-pruned scan of a code table — the float corpus is
+    touched only by the one-time build passes.
+    """
+    cells = ivf_assign(vectors, centroids, id_col, vec_col).select(
+        F.col(id_col), "cell"
+    )
+    codes = pq_codes(vectors, dim, m, k, id_col, vec_col).select(
+        id_col, "subspace", "code"
+    )
+    coded = codes.join(cells, id_col)
+    sub = dim // m
+    v = spread(vectors.select(F.col(id_col), as_double_array(vec_col).alias("e")), heavy=True)
+    slices = F.array(*[F.slice(F.col("e"), s * sub + 1, sub) for s in range(m)])
+    cb = (
+        v.filter(F.col(id_col) < k)
+        .select(F.col(id_col).alias("code_id"), F.posexplode(slices).alias("subspace", "cv"))
+    )
+    q_subs = (
+        v.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), F.posexplode(slices).alias("subspace", "qv"))
+    )
+    qcells = cells.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("cell").alias("qcell")
+    )
+    lut = (
+        q_subs.join(F.broadcast(cb), "subspace")
+        .join(F.broadcast(qcells), "query_id")
+        .select(
+            "query_id", "qcell", "subspace", "code_id",
+            sqdist(F.col("qv"), F.col("cv")).alias("d"),
+        )
+    )
+    hits = coded.join(
+        F.broadcast(lut),
+        (coded.subspace == lut.subspace)
+        & (coded.code == lut.code_id)
+        & (coded.cell == lut.qcell),
+    ).select(F.col(id_col), "query_id", coded.subspace.alias("s"), "d")
+    return _adc_rank(hits, m, top_k, id_col)

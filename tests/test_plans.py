@@ -123,6 +123,7 @@ def test_lsh_group_pair_generation_plan(spark, sf_dir):
 _BOUNDED_BNLJ = {
     "similarity_topk_bruteforce",
     "similarity_ann_ivf",
+    "similarity_ann_ivf_pq",  # same 8 broadcast centroids as ann_ivf
     "similarity_kmeans",
     "similarity_kmeans_pp",
     "text_tfidf",

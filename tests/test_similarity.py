@@ -154,3 +154,22 @@ def test_pq_adc_approximates_exact_neighbors(spark, sf_dir):
     for q in (0, 1, 2):
         ds = [r.adist for r in sorted(rows, key=lambda r: r.rank) if r.query_id == q]
         assert all(d >= 0 for d in ds) and ds == sorted(ds)
+
+
+def test_ivf_pq_neighbors_stay_in_cell_and_rank_densely(spark, sf_dir):
+    from mock_map_reduce_spark.operators import similarity as sim
+    from mock_map_reduce_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(emb.vec_id < 8)
+    cells = {
+        r.vec_id: r.cell for r in sim.ivf_assign(emb, centroids).select("vec_id", "cell").collect()
+    }
+    out = sim.ann_topk_ivf_pq(emb, centroids, dim=64, n_queries=3, top_k=5).collect()
+    assert out
+    by_q = {}
+    for r in out:
+        assert cells[r.neighbor_id] == cells[r.query_id]  # pruning respected
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))  # dense ranks
