@@ -227,16 +227,25 @@ def synthesize_image(doc_id: int) -> bytes:
     doc_id%32 — which catches a forgotten BMP bottom-up flip that
     whole-image means cannot see.
     """
+    rgb = _pixel_law_rgb(doc_id, frame_t=None)
     w, h = 8 + doc_id % 9, 8 + doc_id % 5
-    rgb = bytes(
-        v
-        for y in range(h)
-        for x in range(w)
-        for v in (doc_id % 64 + x, doc_id % 32 + y, x + y)
-    )
     if doc_id % 2 == 0:
         return encode_ppm(w, h, rgb, comment=f"doc {doc_id}")
     return encode_bmp(w, h, rgb)
+
+
+def _pixel_law_rgb(doc_id: int, frame_t: int | None) -> bytes:
+    """Vectorized synthetic raster for ``doc_id`` (+frame_t on blue
+    for video frames) — the wrap-free law documented above."""
+    import numpy as np
+
+    w, h = 8 + doc_id % 9, 8 + doc_id % 5
+    x = np.arange(w, dtype=np.uint16)
+    y = np.arange(h, dtype=np.uint16)
+    r = np.broadcast_to(doc_id % 64 + x, (h, w))
+    g = np.broadcast_to((doc_id % 32 + y)[:, None], (h, w))
+    b = y[:, None] + x[None, :] + (frame_t or 0)
+    return np.stack([r, g, np.broadcast_to(b, (h, w))], axis=2).astype(np.uint8).tobytes()
 
 
 IMAGE_FEATURE_SCHEMA = (
@@ -309,7 +318,12 @@ def encode_wav(sample_rate: int, samples, extra_chunk: bool = False) -> bytes:
     chunk (so decoders must actually WALK chunks) + 'data' chunk."""
     import struct
 
-    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    # bytes fast path: callers may pre-pack little-endian int16 PCM
+    # (e.g. numpy .astype('<i2').tobytes()) to skip per-sample packing
+    if isinstance(samples, (bytes, bytearray)):
+        data = bytes(samples)
+    else:
+        data = b"".join(struct.pack("<h", int(s)) for s in samples)
     chunks = struct.pack(
         "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
     )
@@ -358,12 +372,13 @@ def synthesize_audio(doc_id: int) -> bytes:
     (sum u^2 for u=0..31 is 10416; /32 = 325.5 — all exact in float.)
     Every third doc carries a junk LIST chunk before data.
     """
+    import numpy as np
+
     base = doc_id % 1000 - 500
     n = 32 * (8 + doc_id % 9)
+    pcm = (base + np.arange(n, dtype=np.int64) % 32).astype("<i2").tobytes()
     return encode_wav(
-        8000 + (doc_id % 5) * 1000,
-        (base + (i % 32) for i in range(n)),
-        extra_chunk=doc_id % 3 == 0,
+        8000 + (doc_id % 5) * 1000, pcm, extra_chunk=doc_id % 3 == 0
     )
 
 
@@ -436,12 +451,7 @@ def synthesize_video(doc_id: int) -> bytes:
     w, h = 8 + doc_id % 9, 8 + doc_id % 5
     frames = []
     for t in range(4 + doc_id % 5):
-        rgb = bytes(
-            v
-            for y in range(h)
-            for x in range(w)
-            for v in (doc_id % 64 + x, doc_id % 32 + y, x + y + t)
-        )
+        rgb = _pixel_law_rgb(doc_id, frame_t=t)
         frames.append(encode_ppm(w, h, rgb, comment=f"frame {t}" if t % 2 else None))
     return b"".join(frames)
 
