@@ -111,3 +111,50 @@ def test_chunks_cover_every_token_in_order(spark, texts, chunk, stride_raw):
             words = ct.split()
             rebuilt.extend(words if idx == len(chunks) - 1 else words[:stride])
         assert rebuilt == toks, (t, chunk, stride)
+
+
+# --- codec round-trip properties (no Spark session needed) -----------------
+
+_DIMS = st.tuples(st.integers(1, 12), st.integers(1, 10))
+
+
+@settings(max_examples=60, deadline=None)
+@given(_DIMS, st.data())
+def test_ppm_bmp_roundtrip_any_raster(dims, data):
+    from mock_map_reduce_spark.operators import multimodal as mm
+
+    w, h = dims
+    rgb = bytes(
+        data.draw(
+            st.lists(st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3)
+        )
+    )
+    assert mm.decode_ppm(mm.encode_ppm(w, h, rgb)) == (w, h, rgb)
+    assert mm.decode_bmp(mm.encode_bmp(w, h, rgb)) == (w, h, rgb)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 96000), st.lists(st.integers(-32768, 32767), max_size=64))
+def test_wav_roundtrip_any_pcm(rate, samples):
+    from mock_map_reduce_spark.operators import multimodal as mm
+
+    for extra in (False, True):
+        got = mm.decode_wav(mm.encode_wav(rate, samples, extra_chunk=extra))
+        assert got == (rate, samples)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_DIMS, min_size=1, max_size=5), st.data())
+def test_ppm_stream_roundtrip_any_frames(dims_list, data):
+    from mock_map_reduce_spark.operators import multimodal as mm
+
+    frames, payload = [], b""
+    for i, (w, h) in enumerate(dims_list):
+        rgb = bytes(
+            data.draw(
+                st.lists(st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3)
+            )
+        )
+        frames.append((w, h, rgb))
+        payload += mm.encode_ppm(w, h, rgb, comment=f"f{i}" if i % 2 else None)
+    assert mm.decode_ppm_stream(payload) == frames
