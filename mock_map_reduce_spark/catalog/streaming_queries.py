@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from mock_map_reduce_spark.operators.timeseries import TS_FMT
 from mock_map_reduce_spark.registry import query
 from mock_map_reduce_spark.streaming import (
+    minute_partials_stream,
     read_events_stream,
     run_to_memory,
     session_stream,
@@ -128,3 +129,49 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = interval_join_stream(read_events_stream(spark, sf_dir))
     run_to_memory(stream, "drv_stream_ivjoin", mode="append")
     return spark.table("drv_stream_ivjoin")
+
+
+@query(
+    "streaming_rollup_minute_to_hour",
+    oracle=f"""
+WITH {_E}
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, t), '{_FMT}') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+       CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+FROM e GROUP BY 1, 2
+""",
+)
+def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming->batch continuous-aggregate handoff, oracle-checked:
+    the STREAM maintains per-minute mergeable partials (n, Σ, min,
+    max) under a watermark; the landed partials then merge to hourly
+    IN BATCH, and the result must equal the oracle's direct hourly
+    aggregation of raw events. The production hypertable shape — the
+    stream lands minute partials continuously; coarse queries read
+    partials, never raw events (batch-only twin:
+    timeseries_rollup_two_level)."""
+    stream = minute_partials_stream(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "drv_stream_rollup_partials")
+    partials = spark.table("drv_stream_rollup_partials")
+    return (
+        partials.groupBy(
+            F.window("window_start", "1 hour").alias("hw"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").cast("double").alias("total_value"),
+            F.min("mn").cast("double").alias("min_value"),
+            F.max("mx").cast("double").alias("max_value"),
+        )
+        .select(
+            F.date_format("hw.start", TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "min_value",
+            "max_value",
+        )
+    )

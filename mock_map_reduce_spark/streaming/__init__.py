@@ -6,6 +6,7 @@ from mock_map_reduce_spark.streaming.windows import (
     dedup_stream,
     dedup_stream_bounded,
     interval_join_stream,
+    minute_partials_stream,
     run_to_memory,
     session_stream,
     stream_to_parquet_exactly_once,
@@ -18,6 +19,7 @@ __all__ = [
     "dedup_stream",
     "dedup_stream_bounded",
     "interval_join_stream",
+    "minute_partials_stream",
     "run_to_memory",
     "session_stream",
     "stream_to_parquet_exactly_once",

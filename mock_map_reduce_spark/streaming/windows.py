@@ -262,3 +262,34 @@ def stream_to_parquet_exactly_once(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def minute_partials_stream(
+    events: DataFrame, window: str = "1 minute", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming half of the continuous-aggregate pattern: maintain
+    per-``window`` MERGEABLE rollup state (n, Σ, min, max — exact
+    decimals) under a watermark. Batch consumers merge these partials
+    to any coarser grain (operators/timeseries.rollup_two_level is the
+    all-batch form); at 100 TB the stream lands minute partials
+    continuously and hour/day/month queries read partials, never raw
+    events."""
+    v = F.col("value").cast("decimal(18,2)")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(v).alias("s"),
+            F.min(v).alias("mn"),
+            F.max(v).alias("mx"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "s",
+            "mn",
+            "mx",
+        )
+    )

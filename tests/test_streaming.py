@@ -256,3 +256,39 @@ def test_stream_recovers_from_checkpoint(spark, tmp_path):
     # the restart resumed at the next epoch rather than replaying epoch 0
     epochs = {r.event_id: r["__epoch"] for r in rows}
     assert epochs[1] == epochs[2] < epochs[3] == epochs[4]
+
+
+def test_streaming_minute_partials_merge_exactly(spark, sf_dir):
+    """The streaming continuous-aggregate handoff: per-minute streamed
+    partials merged to hourly must equal the direct batch hourly
+    rollup (same mergeable-state algebra as rollup_two_level)."""
+    from pyspark.sql import functions as F
+
+    from mock_map_reduce_spark.operators import timeseries as ts
+    from mock_map_reduce_spark.streaming import (
+        minute_partials_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    run_to_memory(
+        minute_partials_stream(read_events_stream(spark, sf_dir)),
+        "t_stream_rollup_partials",
+    )
+    merged = (
+        spark.table("t_stream_rollup_partials")
+        .groupBy(F.window("window_start", "1 hour").alias("hw"), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").cast("double").alias("total_value"),
+            F.min("mn").cast("double").alias("min_value"),
+            F.max("mx").cast("double").alias("max_value"),
+        )
+        .select(
+            F.date_format("hw.start", ts.TS_FMT).alias("window_start"),
+            "event_type", "n_events", "total_value", "min_value", "max_value",
+        )
+    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    direct = ts.rollup_two_level(events, group_cols=["event_type"])
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
