@@ -331,6 +331,16 @@ def q_dedup_fuzzy_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verify only scores candidate pairs; components iterate on
     the (tiny) duplicate-edge list, not the corpus.
     """
+    comp = _fuzzy_components(spark, sf_dir)
+    return comp.groupBy("component").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("cluster_size")
+    ).select("keep_id", "cluster_size")
+
+
+def _fuzzy_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component) via LSH candidates -> Jaccard verify ->
+    connected components — the shared head of the fuzzy-survivor
+    queries."""
     docs = load_table(spark, sf_dir, "documents")
     cand = dd.lsh_candidate_pairs(docs, NUM_HASHES, BANDS, NGRAM, use_md5=True)
     grams = dd.shingles(docs, NGRAM)
@@ -354,10 +364,7 @@ def q_dedup_fuzzy_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b")
     )
-    comp = dd.connected_components(edges, docs.select("doc_id"))
-    return comp.groupBy("component").agg(
-        F.min("doc_id").alias("keep_id"), F.count("*").alias("cluster_size")
-    ).select("keep_id", "cluster_size")
+    return dd.connected_components(edges, docs.select("doc_id"))
 
 
 # --- benchmark decontamination ---------------------------------------------
@@ -425,3 +432,101 @@ def q_dedup_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFram
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     index = docs.filter(F.col("doc_id") % 2 == 0)
     return dd.incremental_lsh_candidates(batch, index, NUM_HASHES, BANDS, NGRAM, use_md5=True)
+
+
+# Quality-aware survivor selection: same duplicate clusters as
+# dedup_fuzzy_survivors, but each cluster keeps its HIGHEST-QUALITY
+# member (the curation practice: min-id keeps an arbitrary doc; a
+# trained-corpus pipeline keeps the best one). The oracle composes the
+# recursive-closure cluster derivation with the quality-score chain
+# shared with catalog/textops (its toks CTE also carries `text`, which
+# the gram chain below tolerates).
+from mock_map_reduce_spark.catalog import textops as _textops  # noqa: E402
+from mock_map_reduce_spark.operators import text as tx  # noqa: E402
+
+_GRAMS_FROM_QTOKS = f"""
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - {NGRAM - 1}, 0) + 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+  FROM toks
+)"""
+
+
+@query(
+    "dedup_survivors_by_quality",
+    oracle=f"""
+WITH {_textops._QUALITY_CTES},
+{_GRAMS_FROM_QTOKS},
+sizes AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a, id_b
+  FROM shared JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(ns AS DOUBLE) / (sa.ng + sb.ng - ns) >= {JACCARD_THRESHOLD}
+),
+sym AS (SELECT id_a AS s, id_b AS t FROM edges UNION SELECT id_b, id_a FROM edges),
+reach AS (
+  WITH RECURSIVE r(s, t) AS (
+    SELECT s, t FROM sym
+    UNION
+    SELECT r.s, e.t FROM r JOIN sym e ON r.t = e.s
+  ) SELECT * FROM r
+),
+comp AS (
+  SELECT doc_id, least(doc_id, coalesce(min(t), doc_id)) AS component
+  FROM documents LEFT JOIN reach ON doc_id = s
+  GROUP BY doc_id
+),
+q AS (
+  SELECT doc_id,
+         round(least(mean_word_len / 8.0, 1.0) * 0.25
+               + least(stop_ratio * 4.0, 1.0) * 0.25
+               + alpha_ratio * 0.25
+               + distinct_ratio * 0.25, 6) AS quality_score
+  FROM ratios
+),
+ranked AS (
+  SELECT component, comp.doc_id, quality_score,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY quality_score DESC, comp.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY component) AS cluster_size
+  FROM comp JOIN q ON comp.doc_id = q.doc_id
+)
+SELECT doc_id AS keep_id, cluster_size, quality_score AS keep_quality
+FROM ranked WHERE rn = 1
+""",
+)
+def q_dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup survivors chosen by QUALITY: LSH -> Jaccard ->
+    connected components (shared head with dedup_fuzzy_survivors),
+    then each duplicate cluster keeps its highest-quality member
+    (tie -> smallest doc_id) using the same score as text_quality.
+
+    One groupBy(component) with a max-struct argmax — no window sort;
+    the struct's (-doc_id) middle field turns the tie-break into plain
+    struct ordering. Corpus-scale inputs only flow through the
+    already-bounded dedup head; the quality join carries (id, score).
+    """
+    comp = _fuzzy_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    quality = tx.quality_score(docs).select("doc_id", "quality_score")
+    joined = comp.join(quality, "doc_id")
+    agg = joined.groupBy("component").agg(
+        F.count("*").alias("cluster_size"),
+        F.max(
+            F.struct(
+                F.col("quality_score"),
+                (-F.col("doc_id")).alias("__nid"),
+                F.col("doc_id").alias("doc_id"),
+            )
+        ).alias("best"),
+    )
+    return agg.select(
+        F.col("best.doc_id").alias("keep_id"),
+        "cluster_size",
+        F.col("best.quality_score").alias("keep_quality"),
+    )

@@ -213,3 +213,41 @@ def test_ngram_group_and_join_formulations_agree(docs):
         j = {(r.id_a, r.id_b, round(r.jaccard, 9))
              for r in dd.ngram_jaccard_pairs(docs, 3, 0.1, max_doc_freq=cap, via="join").collect()}
         assert g == j and g  # identical, and non-empty on the planted dups
+
+
+def test_survivors_by_quality_picks_best_member(spark):
+    """Planted 3-doc near-dup cluster: the survivor must be the
+    highest-quality member, not the smallest id."""
+    from pyspark.sql import Row
+
+    from mock_map_reduce_spark.operators import dedup as dd
+    from mock_map_reduce_spark.operators import text as tx
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base + " xxxxxxx yyyyyyy zzzzzzz"),  # junk tail
+            Row(doc_id=2, text=base),  # clean: highest quality
+            Row(doc_id=3, text=base + " qqqq"),
+            Row(doc_id=9, text="completely unrelated content about spark engines"),
+        ]
+    )
+    edges = dd.ngram_jaccard_pairs(docs, 3, 0.5).select("id_a", "id_b")
+    comp = dd.connected_components(edges, docs.select("doc_id"))
+    quality = tx.quality_score(docs).select("doc_id", "quality_score")
+    joined = comp.join(quality, "doc_id")
+    agg = joined.groupBy("component").agg(
+        F.count("*").alias("cluster_size"),
+        F.max(
+            F.struct(
+                F.col("quality_score"),
+                (-F.col("doc_id")).alias("__nid"),
+                F.col("doc_id").alias("doc_id"),
+            )
+        ).alias("best"),
+    )
+    out = {r["best"]["doc_id"]: r["cluster_size"] for r in agg.collect()}
+    assert out[9] == 1  # singleton survives as itself
+    cluster_keep = [k for k, v in out.items() if v == 3]
+    assert cluster_keep == [2]  # quality argmax, not min-id
