@@ -71,6 +71,13 @@ def main() -> None:
     if "--json" in sys.argv:
         print(json.dumps(st, indent=1))
         return
+    if "--suggest" in sys.argv:
+        # Next round's PRIORITY candidates: sampled-but-never-green
+        # first (strongest signal need), then never-sampled in current
+        # registry order. Paste the top ~50 into registry.PRIORITY.
+        for n in st["sampled_never_green"] + st["never_sampled"]:
+            print(n)
+        return
     print(f"registered queries:        {st['total_registered']}")
     print(f"driver-confirmed green:    {st['confirmed_green']}")
     print(f"never driver-sampled:      {len(st['never_sampled'])}")
@@ -87,4 +94,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:  # e.g. piped into head
+        pass
