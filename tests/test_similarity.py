@@ -173,3 +173,26 @@ def test_ivf_pq_neighbors_stay_in_cell_and_rank_densely(spark, sf_dir):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))  # dense ranks
+
+
+def test_ivf_pq_recall_floor_vs_bruteforce(spark, sf_dir):
+    """Measured recall@10 of the composed IVF-PQ path against the
+    exact brute-force baseline on real embeddings — the honest
+    approximation audit for the billion-scale layout (cell pruning
+    loses cross-cell neighbors; PQ loses within-cell precision).
+    Floor pinned at the measured sf0.001 level minus slack."""
+    from mock_map_reduce_spark.operators import similarity as sim
+    from mock_map_reduce_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(emb.vec_id < 8)
+    exact = {}
+    for r in sim.brute_force_topk(emb, emb.filter(emb.vec_id < 3), k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in sim.ann_topk_ivf_pq(emb, centroids, dim=64, n_queries=3, top_k=10).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
