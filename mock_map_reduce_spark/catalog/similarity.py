@@ -479,3 +479,48 @@ def q_similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_topk_ivf_pq(
         emb, centroids, dim=EMB_DIM, n_queries=N_QUERIES, m=PQ_M, k=PQ_K, top_k=TOP_K
     )
+
+
+IVF_NPROBE = 2
+
+
+@query(
+    "similarity_ann_ivf_multiprobe",
+    oracle=f"""
+WITH {_V},
+cent AS (SELECT vec_id AS centroid_id, e AS cent FROM v WHERE vec_id < {N_CELLS}),
+ranked AS (
+  SELECT v.vec_id, v.e, cent.centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY {_cos("v.e", "cent.cent")} DESC, cent.centroid_id) AS rn
+  FROM v CROSS JOIN cent
+),
+assign AS (SELECT vec_id, e, centroid_id AS cell FROM ranked WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, e AS qe, centroid_id AS cell
+  FROM ranked WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT query_id, a.vec_id AS neighbor_id, {_cos("qe", "a.e")} AS cos
+  FROM assign a JOIN q USING (cell)
+  WHERE a.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""",
+)
+def q_similarity_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (nprobe=2), fully oracle-checked: each query
+    searches the UNION of its two nearest cells — the standard recall
+    knob over nprobe=1 (operators/similarity.ann_topk_ivf_multiprobe;
+    tests pin recall(nprobe=2) >= recall(nprobe=1) against the exact
+    baseline). Scan cost per query: nprobe x corpus / n_cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CELLS)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return sim.ann_topk_ivf_multiprobe(
+        emb, queries, centroids, k=TOP_K, nprobe=IVF_NPROBE
+    )

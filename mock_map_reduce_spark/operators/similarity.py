@@ -525,6 +525,76 @@ def _adc_rank(hits: DataFrame, m: int, top_k: int, id_col: str) -> DataFrame:
     )
 
 
+def ivf_assign_multi(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """(id, cell, probe_rank, vec) — each vector's ``nprobe`` nearest
+    centroids by cosine (rank 1 = the ivf_assign cell). The query-side
+    half of multi-probe IVF: probing more cells trades scan cost for
+    recall — the standard knob when nprobe=1 recall is too low."""
+    c = centroids.select(
+        F.col(id_col).alias(centroid_id_col), as_double_array(vec_col).alias("cent")
+    )
+    v = spread(vectors.select(F.col(id_col), as_double_array(vec_col).alias("vec")), heavy=True)
+    scored = v.crossJoin(F.broadcast(c)).select(
+        id_col,
+        "vec",
+        centroid_id_col,
+        cosine(F.col("vec"), F.col("cent")).alias("__cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc(centroid_id_col))
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(
+            F.col(id_col), F.col(centroid_id_col).alias("cell"), "probe_rank", "vec"
+        )
+    )
+
+
+def ann_topk_ivf_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Multi-probe IVF ANN: exact cosine top-k over the UNION of the
+    query's ``nprobe`` nearest cells. Per-query scan cost is
+    nprobe x corpus/n_cells; recall dominates nprobe=1 because
+    near-boundary neighbors in the runner-up cell come back into
+    range. Deterministic end to end, hence oracle-checkable."""
+    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "cell", F.col("vec").alias("cvec")
+    )
+    q = ivf_assign_multi(queries, centroids, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias(query_id_col), "cell", F.col("vec").alias("qvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def ann_topk_ivf_pq(
     vectors: DataFrame,
     centroids: DataFrame,

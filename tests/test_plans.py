@@ -124,6 +124,7 @@ _BOUNDED_BNLJ = {
     "similarity_topk_bruteforce",
     "similarity_ann_ivf",
     "similarity_ann_ivf_pq",  # same 8 broadcast centroids as ann_ivf
+    "similarity_ann_ivf_multiprobe",  # same 8 broadcast centroids
     "similarity_kmeans",
     "similarity_kmeans_pp",
     "text_tfidf",

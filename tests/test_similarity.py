@@ -196,3 +196,33 @@ def test_ivf_pq_recall_floor_vs_bruteforce(spark, sf_dir):
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """nprobe=2 must recall at least as much of the exact top-10 as
+    nprobe=1 for every query, and strictly more in aggregate here
+    (the corpus plants near-boundary neighbors)."""
+    from mock_map_reduce_spark.operators import similarity as sim
+    from mock_map_reduce_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(emb.vec_id < 8)
+    queries = emb.filter(emb.vec_id < 3)
+
+    def topsets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = topsets(sim.brute_force_topk(emb, queries, k=10))
+    one = topsets(sim.ann_topk_ivf(emb, queries, centroids, k=10))
+    two = topsets(sim.ann_topk_ivf_multiprobe(emb, queries, centroids, k=10, nprobe=2))
+    r1 = r2 = 0
+    for q in exact:
+        h1 = len(exact[q] & one.get(q, set()))
+        h2 = len(exact[q] & two.get(q, set()))
+        assert h2 >= h1, q  # more probes never lose recall
+        r1 += h1
+        r2 += h2
+    assert r2 > r1  # strictly better in aggregate on this corpus
