@@ -291,3 +291,44 @@ def q_timeseries_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     events = load_table(spark, sf_dir, "events")
     return ts.rollup_two_level(events, group_cols=["event_type"])
+
+
+FUNNEL_HORIZON_S = 3600  # conversion window: next stage within 1 hour
+
+
+@query(
+    "events_funnel_bounded",
+    oracle=f"""
+WITH {_E},
+s0 AS (SELECT user_id, min(t) AS t_prev FROM e WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (
+  SELECT e.user_id, min(t) AS t_prev
+  FROM e JOIN s0 USING (user_id)
+  WHERE event_type = 'click' AND t > s0.t_prev
+    AND epoch_us(t) - epoch_us(s0.t_prev) <= {FUNNEL_HORIZON_S}000000
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(t) AS t_prev
+  FROM e JOIN s1 USING (user_id)
+  WHERE event_type = 'purchase' AND t > s1.t_prev
+    AND epoch_us(t) - epoch_us(s1.t_prev) <= {FUNNEL_HORIZON_S}000000
+  GROUP BY e.user_id
+)
+SELECT 0 AS stage_idx, 'view' AS stage, (SELECT count(*) FROM s0) AS n_users
+UNION ALL
+SELECT 1, 'click', (SELECT count(*) FROM s1)
+UNION ALL
+SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+""",
+)
+def q_events_funnel_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: view -> click -> purchase where each
+    hop must land within 1 hour of the previous stage's first hit —
+    the attribution-horizon variant of events_funnel (same
+    min-timestamp chain, integer-microsecond window arithmetic so the
+    boundary is engine-exact)."""
+    events = load_table(spark, sf_dir, "events")
+    return ts.funnel_counts(
+        events, ["view", "click", "purchase"], within_s=FUNNEL_HORIZON_S
+    )

@@ -159,14 +159,17 @@ def funnel_counts(
     stages: list[str],
     ts_col: str = "ts",
     user_col: str = "user_id",
+    within_s: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel stage counts: (stage_idx, stage, n_users).
 
     A user reaches stage i+1 only with an event of that type STRICTLY
     AFTER their earliest time of reaching stage i (classic
-    min-timestamp funnel). Each hop is one groupBy(user) agg joined
-    back on user — shuffles carry one row per user per stage, never
-    raw events.
+    min-timestamp funnel); with ``within_s`` set, ALSO within that
+    many seconds of it (the conversion-window funnel — integer-
+    microsecond arithmetic, so both engines agree exactly on the
+    boundary). Each hop is one groupBy(user) agg joined back on user —
+    shuffles carry one row per user per stage, never raw events.
 
     ONE declarative plan, no driver-side actions: the per-stage counts
     union into a single k-row result, and stage i's subtree (which
@@ -181,10 +184,16 @@ def funnel_counts(
     )
     per_stage = [reached]
     for stage in stages[1:]:
+        cond = F.col(ts_col) > F.col("t_prev")
+        if within_s is not None:
+            cond = cond & (
+                F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("t_prev"))
+                <= within_s * 1_000_000
+            )
         reached = (
             events.filter(F.col("event_type") == stage)
             .join(reached, user_col)
-            .filter(F.col(ts_col) > F.col("t_prev"))
+            .filter(cond)
             .groupBy(user_col)
             .agg(F.min(ts_col).alias("t_prev"))
         )

@@ -187,3 +187,31 @@ def test_rollup_two_level_matches_direct(spark):
         ("2024-01-01 01:00:00", "a"): (1, 7.77, 7.77, 7.77),
         ("2024-01-01 01:00:00", "b"): (1, -0.02, -0.02, -0.02),
     }
+
+
+def test_funnel_bounded_window_cuts_late_conversions(spark):
+    """A click 2h after the view converts in the unbounded funnel but
+    not within a 1h window; an in-window click converts in both."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from mock_map_reduce_spark.operators import timeseries as ts
+
+    def ev(i, u, h, m, typ):
+        return Row(event_id=i, user_id=u, ts=datetime(2024, 1, 1, h, m), event_type=typ)
+
+    events = spark.createDataFrame(
+        [
+            ev(1, 1, 9, 0, "view"), ev(2, 1, 11, 0, "click"),   # late click
+            ev(3, 2, 9, 0, "view"), ev(4, 2, 9, 30, "click"),   # in window
+            ev(5, 3, 9, 0, "view"), ev(6, 3, 10, 0, "click"),   # exactly 1h: within
+        ]
+    )
+    unbounded = {r.stage: r.n_users for r in ts.funnel_counts(events, ["view", "click"]).collect()}
+    bounded = {
+        r.stage: r.n_users
+        for r in ts.funnel_counts(events, ["view", "click"], within_s=3600).collect()
+    }
+    assert unbounded == {"view": 3, "click": 3}
+    assert bounded == {"view": 3, "click": 2}
