@@ -332,3 +332,39 @@ def q_events_funnel_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.funnel_counts(
         events, ["view", "click", "purchase"], within_s=FUNNEL_HORIZON_S
     )
+
+
+@query(
+    "events_latest_per_user",
+    oracle=f"""
+WITH {_E},
+r AS (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       value AS last_value
+FROM r WHERE rn = 1
+""",
+)
+def q_events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction: each key's LATEST record (max ts, ties to
+    the larger event_id) — the upsert-materialization primitive for
+    changelog tables. One max_by-shaped groupBy via max-struct (no
+    window sort): the exchange carries one struct per (partition, key)
+    after partial aggregation, never the event stream."""
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.col("ts"), F.col("event_id"), F.col("event_type"), F.col("value")
+            )
+        ).alias("last")
+    )
+    return agg.select(
+        "user_id",
+        F.col("last.event_id").alias("last_event_id"),
+        F.col("last.event_type").alias("last_event_type"),
+        F.col("last.value").alias("last_value"),
+    )

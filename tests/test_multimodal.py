@@ -221,3 +221,22 @@ def test_video_frame_features_law(spark):
     assert sorted(r.t for r in rows) == [0, 2, 4, 6]
     for r in rows:
         assert math.isclose(r.frame_mean_b, (w - 1) / 2 + (h - 1) / 2 + r.t)
+
+
+def test_media_payloads_survive_parquet_round_trip(spark, tmp_path):
+    """Binary media columns through real storage: write the synthetic
+    image/audio/video payload tables to parquet, read back, and the
+    decoded features must be byte-identical — pins that the media
+    pipeline composes with at-rest parquet (the 100 TB reality), not
+    just in-memory exchange."""
+    docs = spark.createDataFrame([Row(doc_id=i) for i in (3, 6, 14)])
+    for name, synth, feats in (
+        ("img", mm.synthesize_image_table, mm.image_features),
+        ("vid", mm.synthesize_video_table, mm.video_frame_features),
+    ):
+        out = str(tmp_path / name)
+        synth(docs).write.mode("overwrite").parquet(out)
+        stored = spark.read.parquet(out)
+        direct = sorted(map(tuple, feats(synth(docs)).collect()))
+        reread = sorted(map(tuple, feats(stored).collect()))
+        assert direct == reread, name

@@ -215,3 +215,17 @@ def test_funnel_bounded_window_cuts_late_conversions(spark):
     }
     assert unbounded == {"view": 3, "click": 3}
     assert bounded == {"view": 3, "click": 2}
+
+
+def test_latest_per_user_plan_has_partial_agg(spark, sf_dir):
+    """The compaction is max-struct groupBy with map-side combine —
+    one exchange carrying one struct per (partition, user)."""
+    from mock_map_reduce_spark import registry
+    from mock_map_reduce_spark.plans import count_exchanges, executed_plan
+
+    registry.load_all()
+    df = registry.QUERIES["events_latest_per_user"](spark, sf_dir)
+    assert count_exchanges(df) == 1
+    # struct-max plans as SortAggregate; what matters is the map-side
+    # partial so the exchange carries one struct per (partition, user)
+    assert "partial_max" in executed_plan(df)
