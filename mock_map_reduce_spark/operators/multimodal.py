@@ -1,17 +1,19 @@
-"""Multimodal column plumbing — opaque binary payloads + typed metadata.
+"""Multimodal columns — opaque binary payloads, typed metadata, and
+REAL pure-stdlib media codecs on the decode seam.
 
 Media columns (image/audio/video) are carried as ``binary`` payloads
 with a typed metadata struct; decode / feature-extraction runs as
-Arrow-batched Pandas functions over ``mapInPandas``. The media codec
-libraries (PIL/torchaudio/ffmpeg) are NOT in this container, so the
-actual decode step is stubbed: ``decode_image`` raises
-NotImplementedError unless PIL is importable, and ``byte_features``
-is the deterministic stand-in extractor (real arithmetic over the raw
-bytes — histogram moments — so the Spark-side plumbing: schema,
-batching, partitioning, UDF signature, is fully real and tested).
+Arrow-batched Pandas functions over ``mapInPandas``. Decoding is
+real, with zero codec dependencies: netpbm PPM(P6) + 24-bit BMP
+images, RIFF/WAVE PCM audio, and concatenated-PPM-stream video
+(ffmpeg's image2pipe shape); exotic codecs (JPEG/PNG) plug into the
+same ``decode_image`` seam via PIL when present. ``byte_features``
+remains the codec-free extractor (byte-histogram moments).
 
-Scale notes (100 TB of media): payloads dominate row size — operators
-must never shuffle payload columns (select metadata before groupBy /
+Scale notes (100 TB of media): payloads dominate row size — they may
+move at most ONCE through the adaptive ``spread`` round-robin when the
+source is under-parallel (the same tradeoff as every heavy operator),
+and must NEVER enter a keyed shuffle (select metadata before groupBy /
 join; feature-extract first, then drop the payload). ``mapInPandas``
 processes Arrow batches, so executor memory is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` x payload size —
@@ -304,7 +306,9 @@ def synthesize_image_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
                 }
             )
 
-    return docs.select(id_col).mapInPandas(build, "doc_id long, payload binary")
+    return spread(docs.select(id_col), heavy=True).mapInPandas(
+        build, "doc_id long, payload binary"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -434,7 +438,9 @@ def synthesize_audio_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
                 }
             )
 
-    return docs.select(id_col).mapInPandas(build, "doc_id long, payload binary")
+    return spread(docs.select(id_col), heavy=True).mapInPandas(
+        build, "doc_id long, payload binary"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -501,7 +507,9 @@ def synthesize_video_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
                 }
             )
 
-    return docs.select(id_col).mapInPandas(build, "doc_id long, payload binary")
+    return spread(docs.select(id_col), heavy=True).mapInPandas(
+        build, "doc_id long, payload binary"
+    )
 
 
 _ship_module_by_value()
