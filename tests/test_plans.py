@@ -237,3 +237,54 @@ def test_rollup_two_level_plan(q):
     df = q("timeseries_rollup_two_level")
     assert count_exchanges(df) == 2
     assert executed_plan(df).count("HashAggregate") == 4
+
+
+def test_runtime_bloom_filter_prunes_fact_fact_join(spark, sf_dir):
+    """Spark's runtime Bloom-filter join pruning — the 100 TB lever
+    that pre-filters the big probe side of a shuffle join with a bloom
+    filter built from the selective side, before the exchange. The
+    application-side threshold defaults to 10 GB so it self-enables
+    exactly at scale; here it's lowered to demonstrate the injected
+    plan, and results must be identical with and without it."""
+    from pyspark.sql import functions as F
+
+    from mock_map_reduce_spark.sources import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    saved = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+
+    def build():
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        o = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        return li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity"
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        filtered = build()
+        assert "bloomfilter" in executed_plan(filtered).lower()
+        with_bloom = sorted(map(tuple, filtered.collect()))
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        without = sorted(map(tuple, build().collect()))
+        assert with_bloom == without  # pruning never changes the answer
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
