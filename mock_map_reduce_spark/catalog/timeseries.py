@@ -368,3 +368,53 @@ def q_events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last.event_type").alias("last_event_type"),
         F.col("last.value").alias("last_value"),
     )
+
+
+@query(
+    "events_dau_wau_stickiness",
+    oracle=f"""
+WITH {_E},
+d AS (SELECT DISTINCT CAST(t AS DATE) AS day, user_id FROM e),
+days AS (SELECT DISTINCT day FROM d),
+dau AS (SELECT day, count(*) AS dau FROM d GROUP BY day),
+wau AS (
+  SELECT days.day, count(DISTINCT d.user_id) AS wau
+  FROM days JOIN d ON d.day BETWEEN days.day - INTERVAL 6 DAY AND days.day
+  GROUP BY days.day
+)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, wau,
+       round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+""",
+)
+def q_events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU stickiness per day — the standard
+    engagement ratio, and the one distinct-count-over-trailing-window
+    shape in the catalog. Distinct (day, user) pairs are reduced FIRST
+    (the only corpus-scale aggregation); the 7-day trailing union is a
+    bounded 7x fan-out join on the tiny day x user table, never on raw
+    events. Ratio is double division rounded to 6, engine-exact."""
+    events = load_table(spark, sf_dir, "events")
+    d = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = d.groupBy("day").agg(F.count("*").alias("dau"))
+    days = d.select("day").distinct()
+    wau = (
+        days.join(
+            d.select(F.col("day").alias("d2"), "user_id"),
+            (F.col("d2") >= F.date_sub(F.col("day"), 6))
+            & (F.col("d2") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )

@@ -229,3 +229,35 @@ def test_latest_per_user_plan_has_partial_agg(spark, sf_dir):
     # struct-max plans as SortAggregate; what matters is the map-side
     # partial so the exchange carries one struct per (partition, user)
     assert "partial_max" in executed_plan(df)
+
+
+def test_dau_wau_stickiness_hand_computed(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from mock_map_reduce_spark import registry
+
+    registry.load_all()
+    # build a tiny parquet dir so the catalog query can read it
+    import tempfile, os
+
+    rows = [
+        Row(event_id=1, user_id=1, ts=datetime(2024, 1, 1, 9), event_type="view", value=1.0, props="{}"),
+        Row(event_id=2, user_id=2, ts=datetime(2024, 1, 1, 10), event_type="view", value=1.0, props="{}"),
+        Row(event_id=3, user_id=1, ts=datetime(2024, 1, 5, 9), event_type="view", value=1.0, props="{}"),
+        Row(event_id=4, user_id=3, ts=datetime(2024, 1, 5, 9), event_type="view", value=1.0, props="{}"),
+        # same user twice in one day -> still 1 DAU
+        Row(event_id=5, user_id=3, ts=datetime(2024, 1, 5, 11), event_type="click", value=1.0, props="{}"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(rows).write.parquet(os.path.join(tmp, "events.parquet"))
+        out = {
+            r.day: (r.dau, r.wau, r.stickiness)
+            for r in registry.QUERIES["events_dau_wau_stickiness"](spark, tmp).collect()
+        }
+    # Jan 1: dau 2, wau 2; Jan 5: dau 2 (users 1,3), trailing week users {1,2,3} -> wau 3
+    assert out == {
+        "2024-01-01": (2, 2, 1.0),
+        "2024-01-05": (2, 3, round(2 / 3, 6)),
+    }
