@@ -130,6 +130,7 @@ _BOUNDED_BNLJ = {
     "text_tfidf",
     "range_join_banded",
     "approx_distinct_merged",
+    "events_dau_wau_stickiness",  # distinct-days table (tiny) × day-user pairs
 }
 
 
