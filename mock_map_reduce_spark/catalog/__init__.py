@@ -20,6 +20,8 @@ Split by surface area; each module corresponds to a SURVEY.md §2 slice:
                   TF-IDF, surprisal, chunking, PII, corpus profile)
     timeseries  — windows, sessionization (hand-rolled + built-in),
                   as-of join, funnel, retention
+    lifecycle   — gap-fill, forward-fill (LOCF), SCD type-2 intervals,
+                  snapshot diff, winsorized stats
     multimodal  — binary-column plumbing
     streaming_queries — watermarked streams driven to completion and
                   oracle-checked against batch SQL
@@ -30,6 +32,7 @@ from mock_map_reduce_spark.catalog import (  # noqa: F401
     curation,
     dedup,
     flagship,
+    lifecycle,
     sqlapi,
     sqlapi2,
     stats,

@@ -299,3 +299,100 @@ def rollup_two_level(
             "max_value",
         )
     )
+
+
+def gap_fill_daily(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Zero-fill missing days per key: (key, day, n_events) with one row
+    for EVERY calendar day between the key's first and last active day.
+
+    The spine is `sequence(min_day, max_day)` exploded per key — no
+    driver-side calendar, no cross join against a global date table.
+
+    Scale: two aggregations share the same key; the per-key bounds row
+    is tiny (one row per key), so the explode output is bounded by
+    key_count x span_days — at 100 TB the dominant cost stays the first
+    per-(key, day) aggregation, which is map-side-combined. The final
+    left join shuffles on (key, day), the same key as `daily`, so AQE
+    plans it without an extra exchange of the spine's small side.
+    """
+    day = F.to_date(F.col(ts_col)).alias("day")
+    daily = events.select(F.col(key_col), day).groupBy(key_col, "day").agg(
+        F.count("*").alias("n_events")
+    )
+    spine = (
+        daily.groupBy(key_col)
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(key_col, F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    return (
+        spine.join(daily, [key_col, "day"], "left")
+        .select(
+            key_col,
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+def forward_fill(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    fill_expr: Column,
+    out_col: str,
+) -> DataFrame:
+    """Last-observation-carried-forward: the most recent non-null value
+    of ``fill_expr`` at or before each row, per key, in order.
+
+    `last(..., ignorenulls=True)` over a rows-frame running window —
+    one shuffle on the key, linear within the partition. The classic
+    way to propagate sparse sensor readings / latest-price marks onto
+    a dense event stream without a range self-join.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.last(fill_expr, ignorenulls=True).over(w))
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension intervals from an event stream:
+    collapse consecutive identical states per key, then emit
+    [valid_from, valid_to) in integer microseconds (-1 = open/current).
+
+    lag() detects state transitions, lead() closes each interval — two
+    window passes over ONE shuffle on the key (both windows share the
+    same partitioning/ordering, so Spark plans a single exchange+sort).
+    This is the standard CDC-to-dimension build: at 100 TB the stream
+    is already bucketed by entity key and the windows never spill
+    beyond a key's own rows.
+    """
+    order = [F.col(ts_col), F.col(id_col)]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    changed = ~F.lag(F.col(state_col)).over(w).eqNullSafe(F.col(state_col))
+    changes = (
+        events.select(key_col, state_col, ts_col, id_col)
+        .withColumn("__chg", changed)
+        .filter(F.col("__chg"))
+    )
+    valid_to = F.lead(us).over(w)
+    return changes.select(
+        key_col,
+        F.col(state_col).alias("state"),
+        us.alias("valid_from_us"),
+        F.coalesce(valid_to, F.lit(-1)).alias("valid_to_us"),
+        F.when(valid_to.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )

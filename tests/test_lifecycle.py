@@ -1,0 +1,112 @@
+"""Lifecycle operator semantics: gap-fill, forward-fill (LOCF),
+SCD type-2 intervals, snapshot diff."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row, functions as F
+
+from mock_map_reduce_spark.operators import relational as rel
+from mock_map_reduce_spark.operators import timeseries as ts
+
+
+def _ts(day: int, hour: int = 0) -> datetime.datetime:
+    return datetime.datetime(2024, 1, day, hour, 0, 0)
+
+
+def test_gap_fill_daily_fills_interior_days_only(spark):
+    """Missing days INSIDE a user's span get n_events = 0; nothing is
+    emitted before the first or after the last active day, and other
+    users' spans don't bleed in."""
+    events = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=_ts(1)),
+            Row(user_id=1, ts=_ts(1, 6)),
+            Row(user_id=1, ts=_ts(4)),
+            Row(user_id=2, ts=_ts(10)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = {(r.user_id, r.day): r.n_events for r in ts.gap_fill_daily(events).collect()}
+    assert out == {
+        (1, "2024-01-01"): 2,
+        (1, "2024-01-02"): 0,
+        (1, "2024-01-03"): 0,
+        (1, "2024-01-04"): 1,
+        (2, "2024-01-10"): 1,
+    }
+
+
+def test_forward_fill_carries_last_non_null_per_key(spark):
+    events = spark.createDataFrame(
+        [
+            Row(event_id=1, user_id=1, ts=_ts(1), event_type="view", value=9.0),
+            Row(event_id=2, user_id=1, ts=_ts(2), event_type="purchase", value=5.0),
+            Row(event_id=3, user_id=1, ts=_ts(3), event_type="view", value=7.0),
+            Row(event_id=4, user_id=1, ts=_ts(4), event_type="purchase", value=2.0),
+            Row(event_id=5, user_id=2, ts=_ts(1), event_type="view", value=1.0),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    filled = ts.forward_fill(
+        events,
+        "user_id",
+        ["ts", "event_id"],
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+        "locf",
+    )
+    out = {r.event_id: r.locf for r in filled.collect()}
+    # NULL until the first purchase; the purchase row sees itself; user 2 never fills.
+    assert out == {1: None, 2: 5.0, 3: 5.0, 4: 2.0, 5: None}
+
+
+def test_scd2_collapses_repeats_and_marks_current(spark):
+    events = spark.createDataFrame(
+        [
+            Row(event_id=1, user_id=1, ts=_ts(1), event_type="trial"),
+            Row(event_id=2, user_id=1, ts=_ts(2), event_type="trial"),
+            Row(event_id=3, user_id=1, ts=_ts(3), event_type="paid"),
+            Row(event_id=4, user_id=1, ts=_ts(5), event_type="trial"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    rows = sorted(
+        ts.scd2_intervals(events).collect(), key=lambda r: r.valid_from_us
+    )
+    # Consecutive 'trial' repeats collapse; the state can recur later.
+    assert [r.state for r in rows] == ["trial", "paid", "trial"]
+    # Intervals chain: each valid_to == next valid_from; last one open.
+    assert rows[0].valid_to_us == rows[1].valid_from_us
+    assert rows[1].valid_to_us == rows[2].valid_from_us
+    assert rows[2].valid_to_us == -1 and rows[2].is_current == 1
+    assert [r.is_current for r in rows[:2]] == [0, 0]
+
+
+def test_scd2_single_exchange(spark):
+    """lag-filter and lead share one partitioning: exactly one exchange."""
+    events = spark.createDataFrame(
+        [Row(event_id=1, user_id=1, ts=_ts(1), event_type="a")],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    plan = ts.scd2_intervals(events)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_snapshot_diff_classifies_all_four_ways(spark):
+    a = spark.createDataFrame(
+        [Row(k=1, v=10.0), Row(k=2, v=20.0), Row(k=3, v=None), Row(k=4, v=40.0)],
+        "k long, v double",
+    )
+    b = spark.createDataFrame(
+        [Row(k=1, v=10.0), Row(k=2, v=21.0), Row(k=3, v=30.0), Row(k=5, v=50.0)],
+        "k long, v double",
+    )
+    out = {r.k: r.status for r in rel.snapshot_diff(a, b, "k", ["v"]).collect()}
+    assert out == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",  # NULL -> value counts as a change (null-safe compare)
+        4: "removed",
+        5: "added",
+    }
