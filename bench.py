@@ -61,6 +61,17 @@ def main() -> None:
     # Warm-up: JVM, codegen, parquet footers — not counted.
     registry.QUERIES["top_words"](spark, sf_dir).collect()
 
+    # Warm the Python-UDF worker pool (fork + numpy/pandas import +
+    # Arrow serde) across all cores, so Pandas-UDF headliners measure
+    # steady-state throughput instead of one-time worker spawn.
+    def _warm(batches):
+        import numpy, pandas  # noqa: F401  (the imports ARE the warm-up)
+
+        yield from batches
+
+    n_cores = spark.sparkContext.defaultParallelism
+    spark.range(0, n_cores, 1, n_cores).mapInPandas(_warm, "id long").count()
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
     def run_once(name: str) -> float:
