@@ -289,3 +289,25 @@ def q_curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 25)
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "curation_weighted_sample",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1.0)
+           / 1152921504606846977.0 AS u
+  FROM documents
+),
+s AS (SELECT doc_id, n_chars, ROUND(ln(u) / n_chars, 12) AS score FROM t)
+SELECT doc_id, n_chars, score FROM s ORDER BY score DESC, doc_id LIMIT 20
+""",
+)
+def q_curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic corpus sample (A-ES, top 20):
+    longer documents proportionally likelier, yet fully reproducible
+    (u derives from md5(doc_id)). Map-side score + bounded top-k heap;
+    the corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.weighted_sample(docs, 20)

@@ -468,3 +468,51 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     docs = load_table(spark, sf_dir, "documents")
     return tx.bpe_pair_counts(docs, top_k=20)
+
+
+@query(
+    "text_entropy_by_source",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
+),
+tc AS (SELECT source, tok, COUNT(*) AS c FROM toks WHERE tok <> '' GROUP BY 1, 2),
+tot AS (SELECT source, SUM(c) AS n FROM tc GROUP BY 1)
+SELECT tc.source, CAST(tot.n AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+       ROUND(-SUM((c / CAST(tot.n AS DOUBLE)) * ln(c / CAST(tot.n AS DOUBLE))), 6) AS entropy_nats
+FROM tc JOIN tot ON tc.source = tot.source
+GROUP BY tc.source, tot.n
+""",
+)
+def q_text_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each source's token distribution — the
+    corpus-diversity diagnostic that flags templated/boilerplate
+    sources before they skew a training mix.
+
+    Two aggregations share the source key: token counts (map-side
+    combined over the explode, the only corpus-scale shuffle) and the
+    per-source totals, which re-join broadcast — entropy itself is a
+    pure column expression. Sum-then-round(6) absorbs ln() ulp drift.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tc = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    tot = tc.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        tc.join(F.broadcast(tot), "source")
+        .groupBy("source", "n")
+        .agg(
+            F.count("*").alias("n_distinct"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        )
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_tokens"),
+            "n_distinct",
+            "entropy_nats",
+        )
+    )

@@ -188,3 +188,23 @@ def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse("p_name").alias("name_rev"),
         F.instr(F.col("p_name"), " ").cast("int").alias("space_at"),
     )
+
+
+@query(
+    "window_ntile_quartiles",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       CAST(NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+FROM orders
+""",
+)
+def q_window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth binning per group: NTILE(4) over (price, key) — the
+    deterministic tie-break keeps both engines' bucket boundaries
+    identical. One shuffle on the partition key; at 100 TB swap for
+    approx_percentile cutpoints to avoid the per-group sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey", "o_orderpriority", F.ntile(4).over(w).alias("quartile")
+    )

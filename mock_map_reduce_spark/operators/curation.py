@@ -213,3 +213,38 @@ def per_group_quantile_floor(
         .filter(F.col(value_col) >= F.col("__thr"))
         .drop("__thr")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row draws u ~ U(0,1) from md5(id) and scores
+    ln(u)/w; the k LARGEST scores win, giving inclusion probability
+    proportional to weight.
+
+    Determinism: u is a pure function of the id (top 60 bits of the
+    md5 digest), so the sample is reproducible across runs, engines,
+    and retries — the property that makes weighted corpus subsampling
+    auditable. The score is rounded to 12 decimals so the ordering
+    survives last-ulp ln() differences across engines; ties (measure
+    zero) break by id.
+
+    Scale: map-side score + TakeOrderedAndProject (bounded heap per
+    partition, single driver merge of k rows) — no global sort, no
+    shuffle of the corpus. The classic distributed one-pass weighted
+    reservoir.
+    """
+    u = (
+        F.conv(F.substring(row_key_hash(id_col), 1, 15), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 60) + 1.0)
+    score = F.round(F.log(u) / F.col(weight_col), 12)
+    return (
+        docs.select(id_col, weight_col, score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -111,3 +111,25 @@ def test_per_group_quantile_floor(spark):
     assert {(g, d) for g, d in got if g == "a"} == {("a", i) for i in range(1, 8)}
     # group b: n=5 -> rank (4*25)//100+1 = 2 -> threshold = 10.0 -> keep 101..104
     assert {(g, d) for g, d in got if g == "b"} == {("b", 100 + i) for i in range(1, 5)}
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from mock_map_reduce_spark.operators import curation as cu
+
+    docs = spark.createDataFrame(
+        [(i, 10 if i != 7 else 1_000_000) for i in range(100)],
+        "doc_id long, n_chars long",
+    )
+    a = [r.doc_id for r in cu.weighted_sample(docs, 10).collect()]
+    b = [r.doc_id for r in cu.weighted_sample(docs, 10).collect()]
+    assert a == b  # reproducible across runs
+    # A ~100000x weight makes doc 7's score ~0: it must be sampled.
+    assert 7 in a
+
+
+def test_weighted_sample_plan_is_bounded_topk(spark):
+    from mock_map_reduce_spark.operators import curation as cu
+
+    docs = spark.createDataFrame([(i, 10) for i in range(50)], "doc_id long, n_chars long")
+    plan = cu.weighted_sample(docs, 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # bounded heap, no global sort

@@ -213,3 +213,24 @@ def test_bpe_pair_counts_plan_is_bounded(spark, sf_dir):
     plan = executed_plan(tx.bpe_pair_counts(load_table(spark, sf_dir, "documents")))
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_entropy_uniform_distribution_is_ln_n(spark):
+    """4 equally-frequent tokens -> entropy = ln(4) nats."""
+    import math
+
+    from mock_map_reduce_spark.catalog.textops import q_text_entropy_by_source  # noqa: F401
+    from mock_map_reduce_spark.registry import QUERIES
+    import tempfile, os
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd", "en", "s1", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        out = QUERIES["text_entropy_by_source"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_tokens, r.n_distinct) == (4, 4)
+    assert abs(r.entropy_nats - math.log(4)) < 1e-6
