@@ -163,3 +163,95 @@ def q_try_error_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("try_divide(CAST(o_totalprice AS DOUBLE), o_custkey % 3)"), 4
         ).alias("try_div"),
     )
+
+
+@query(
+    "agg_mad_robust",
+    oracle="""
+WITH m AS (SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med FROM orders GROUP BY 1),
+d AS (SELECT o.o_orderpriority, ABS(o.o_totalprice - m.med) AS ad, m.med
+      FROM orders o JOIN m USING (o_orderpriority))
+SELECT o_orderpriority, ROUND(ANY_VALUE(med), 2) AS median_price,
+       ROUND(quantile_cont(ad, 0.5), 2) AS mad
+FROM d GROUP BY 1
+""",
+)
+def q_agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the outlier-immune spread
+    measure (stddev is hostage to a single corrupt row; MAD isn't).
+
+    Two exact-percentile passes: the per-group median table is
+    group-cardinality-sized, so it broadcasts back onto the fact scan
+    and only the two percentile aggregations shuffle. 100 TB: swap
+    both for approx_percentile (mergeable t-digest), same shape.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    d = orders.join(F.broadcast(m), "o_orderpriority").select(
+        "o_orderpriority",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("ad"),
+    )
+    return d.groupBy("o_orderpriority").agg(
+        F.round(F.first("med"), 2).alias("median_price"),
+        F.round(F.percentile("ad", F.lit(0.5)), 2).alias("mad"),
+    )
+
+
+@query(
+    "agg_regression_by_type",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 1704067200 AS DECIMAL(18,0)) AS x,
+         CAST(value AS DECIMAL(18,2)) AS y
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(x*y) AS sxy
+  FROM e GROUP BY 1
+)
+SELECT event_type, n,
+       ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 9) AS slope,
+       ROUND((CAST(sy AS DOUBLE) - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+FROM s
+""",
+)
+def q_agg_regression_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact OLS fit (value vs. time) per event type from DECIMAL
+    moment sums — the same merge-safe aggregate algebra as
+    agg_variance_exact, extended to two variables.
+
+    Native regr_slope streams doubles in partition order
+    (nondeterministic last ulps); decimal Sx/Sy/Sxx/Sxy are exact and
+    associative, so partial aggregation and AQE re-planning cannot
+    change the answer. x is seconds since 2024-01-01 (small decimals;
+    products stay far from DECIMAL(38) overflow at any SF).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = (
+        (F.unix_micros("ts") / F.lit(1_000_000)).cast("long") - F.lit(1_704_067_200)
+    ).cast("decimal(18,0)")
+    y = F.col("value").cast("decimal(18,2)")
+    s = ev.select(F.col("event_type"), x.alias("x"), y.alias("y")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n")
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 9).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )

@@ -9,6 +9,7 @@ arithmetic everywhere.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from mock_map_reduce_spark.operators import timeseries as ts
 from mock_map_reduce_spark.registry import query
@@ -416,5 +417,50 @@ def q_events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dau",
             "wau",
             F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+@query(
+    "events_markov_transitions",
+    oracle=f"""
+WITH {_E},
+pairs AS (
+  SELECT event_type AS from_state,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS to_state
+  FROM e
+),
+pc AS (SELECT from_state, to_state, COUNT(*) AS c FROM pairs WHERE to_state IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_state, SUM(c) AS n FROM pc GROUP BY 1)
+SELECT pc.from_state, pc.to_state, pc.c,
+       ROUND(pc.c / CAST(tot.n AS DOUBLE), 6) AS p
+FROM pc JOIN tot USING (from_state)
+""",
+)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: P(next event type | current) — the behavioral-model
+    fit that powers next-action prediction and anomaly scoring.
+
+    lead() pairs consecutive events inside one shuffle on user_id;
+    the pair counts then aggregate to state-pair cardinality (tiny),
+    so the row-count normalization join is broadcast. At 100 TB only
+    the per-user window pass touches corpus-scale data.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("from_state"),
+        F.lead("event_type").over(w).alias("to_state"),
+    ).filter(F.col("to_state").isNotNull())
+    pc = pairs.groupBy("from_state", "to_state").agg(F.count("*").alias("c"))
+    tot = pc.groupBy("from_state").agg(F.sum("c").alias("n"))
+    return (
+        pc.join(F.broadcast(tot), "from_state")
+        .select(
+            "from_state",
+            "to_state",
+            "c",
+            F.round(F.col("c") / F.col("n").cast("double"), 6).alias("p"),
         )
     )

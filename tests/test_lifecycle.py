@@ -110,3 +110,52 @@ def test_snapshot_diff_classifies_all_four_ways(spark):
         4: "removed",
         5: "added",
     }
+
+
+def _write_tbl(spark, tmpdir, name, df):
+    import os
+
+    df.coalesce(1).write.parquet(os.path.join(tmpdir, f"{name}.parquet"))
+
+
+def test_markov_rows_are_probabilities(spark, tmp_path):
+    from mock_map_reduce_spark import registry
+
+    registry.load_all()
+    QUERIES = registry.QUERIES
+
+    events = spark.createDataFrame(
+        [
+            (1, 1, _ts(1), "a", None),
+            (2, 1, _ts(2), "b", None),
+            (3, 1, _ts(3), "a", None),
+            (4, 2, _ts(1), "a", None),
+            (5, 2, _ts(2), "a", None),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    _write_tbl(spark, str(tmp_path), "events", events)
+    rows = QUERIES["events_markov_transitions"](spark, str(tmp_path)).collect()
+    # transitions: u1 a->b, b->a; u2 a->a  => from a: {b: .5, a: .5}, from b: {a: 1}
+    got = {(r.from_state, r.to_state): (r.c, r.p) for r in rows}
+    assert got == {("a", "b"): (1, 0.5), ("a", "a"): (1, 0.5), ("b", "a"): (1, 1.0)}
+
+
+def test_regression_recovers_perfect_line(spark, tmp_path):
+    from mock_map_reduce_spark import registry
+
+    registry.load_all()
+    QUERIES = registry.QUERIES
+
+    # y = 2*x + 10 exactly, x = seconds since 2024-01-01
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, base + datetime.timedelta(seconds=i * 100), "t", float(2 * (i * 100) + 10))
+        for i in range(10)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    _write_tbl(spark, str(tmp_path), "events", events)
+    out = QUERIES["agg_regression_by_type"](spark, str(tmp_path)).collect()[0]
+    assert out.slope == 2.0 and out.intercept == 10.0
