@@ -477,11 +477,13 @@ WITH toks AS (
   SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
 ),
 tc AS (SELECT source, tok, COUNT(*) AS c FROM toks WHERE tok <> '' GROUP BY 1, 2),
-tot AS (SELECT source, SUM(c) AS n FROM tc GROUP BY 1)
-SELECT tc.source, CAST(tot.n AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
-       ROUND(-SUM((c / CAST(tot.n AS DOUBLE)) * ln(c / CAST(tot.n AS DOUBLE))), 6) AS entropy_nats
-FROM tc JOIN tot ON tc.source = tot.source
-GROUP BY tc.source, tot.n
+s AS (
+  SELECT source, SUM(c) AS n, COUNT(*) AS n_distinct, SUM(c * ln(CAST(c AS DOUBLE))) AS sclnc
+  FROM tc GROUP BY 1
+)
+SELECT source, CAST(n AS BIGINT) AS n_tokens, n_distinct,
+       ROUND(ln(CAST(n AS DOUBLE)) - sclnc / n, 6) AS entropy_nats
+FROM s
 """,
 )
 def q_text_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,10 +491,13 @@ def q_text_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-diversity diagnostic that flags templated/boilerplate
     sources before they skew a training mix.
 
-    Two aggregations share the source key: token counts (map-side
-    combined over the explode, the only corpus-scale shuffle) and the
-    per-source totals, which re-join broadcast — entropy itself is a
-    pure column expression. Sum-then-round(6) absorbs ln() ulp drift.
+    Uses the one-pass identity H = ln(n) − (Σ c·ln c)/n, so the whole
+    query is two chained aggregations — token counts (map-side
+    combined over the explode, the only corpus-scale shuffle) then a
+    per-source moment roll-up. No normalization join, no second scan
+    of the corpus, and Σ c·ln c is a mergeable aggregate, so the
+    per-source state re-aggregates across shards/days like the
+    variance algebra. Round(6) absorbs ln() ulp drift.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -500,19 +505,16 @@ def q_text_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
     tc = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
-    tot = tc.groupBy("source").agg(F.sum("c").alias("n"))
-    p = F.col("c") / F.col("n").cast("double")
-    return (
-        tc.join(F.broadcast(tot), "source")
-        .groupBy("source", "n")
-        .agg(
-            F.count("*").alias("n_distinct"),
-            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
-        )
-        .select(
-            "source",
-            F.col("n").cast("long").alias("n_tokens"),
-            "n_distinct",
-            "entropy_nats",
-        )
+    s = tc.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("sclnc"),
+    )
+    return s.select(
+        "source",
+        F.col("n").cast("long").alias("n_tokens"),
+        "n_distinct",
+        F.round(
+            F.log(F.col("n").cast("double")) - F.col("sclnc") / F.col("n"), 6
+        ).alias("entropy_nats"),
     )

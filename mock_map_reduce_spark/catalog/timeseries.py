@@ -430,11 +430,10 @@ pairs AS (
          LEAD(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS to_state
   FROM e
 ),
-pc AS (SELECT from_state, to_state, COUNT(*) AS c FROM pairs WHERE to_state IS NOT NULL GROUP BY 1, 2),
-tot AS (SELECT from_state, SUM(c) AS n FROM pc GROUP BY 1)
-SELECT pc.from_state, pc.to_state, pc.c,
-       ROUND(pc.c / CAST(tot.n AS DOUBLE), 6) AS p
-FROM pc JOIN tot USING (from_state)
+pc AS (SELECT from_state, to_state, COUNT(*) AS c FROM pairs WHERE to_state IS NOT NULL GROUP BY 1, 2)
+SELECT from_state, to_state, c,
+       ROUND(c / CAST(SUM(c) OVER (PARTITION BY from_state) AS DOUBLE), 6) AS p
+FROM pc
 """,
 )
 def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,8 +443,9 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lead() pairs consecutive events inside one shuffle on user_id;
     the pair counts then aggregate to state-pair cardinality (tiny),
-    so the row-count normalization join is broadcast. At 100 TB only
-    the per-user window pass touches corpus-scale data.
+    and the per-from-state normalizer is a window sum over that tiny
+    table — no join, no recompute of the corpus-scale branch. At
+    100 TB only the per-user window pass touches corpus-scale data.
     """
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -454,13 +454,10 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("to_state"),
     ).filter(F.col("to_state").isNotNull())
     pc = pairs.groupBy("from_state", "to_state").agg(F.count("*").alias("c"))
-    tot = pc.groupBy("from_state").agg(F.sum("c").alias("n"))
-    return (
-        pc.join(F.broadcast(tot), "from_state")
-        .select(
-            "from_state",
-            "to_state",
-            "c",
-            F.round(F.col("c") / F.col("n").cast("double"), 6).alias("p"),
-        )
+    n = F.sum("c").over(Window.partitionBy("from_state"))
+    return pc.select(
+        "from_state",
+        "to_state",
+        "c",
+        F.round(F.col("c") / n.cast("double"), 6).alias("p"),
     )
