@@ -183,3 +183,101 @@ def q_winsorized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("w").cast("double") / F.count("*"), 2).alias("winsorized_avg"),
         )
     )
+
+
+@query(
+    "dq_orders_constraints",
+    oracle="""
+WITH dirty AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN NULL
+              WHEN o_orderkey % 103 = 0 THEN 10000000 + o_orderkey
+              ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN -1.0 ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 101 = 0 THEN TIMESTAMP '1970-01-01' ELSE o_orderdate END AS o_orderdate
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+  FROM orders WHERE o_orderkey % 211 = 0
+),
+checks AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_custkey,
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpositive_price,
+         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_date_out_of_range
+  FROM dirty
+),
+dups AS (
+  SELECT COUNT(*) AS n_dup_keys FROM (
+    SELECT o_orderkey FROM dirty GROUP BY o_orderkey HAVING COUNT(*) > 1
+  )
+),
+orphans AS (
+  SELECT COUNT(*) AS n_orphan_custkey FROM dirty d
+  WHERE d.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = d.o_custkey)
+)
+SELECT n_rows, n_null_custkey, n_dup_keys, n_orphan_custkey, n_nonpositive_price, n_date_out_of_range
+FROM checks, dups, orphans
+""",
+)
+def q_dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit — the pre-ingest gate every
+    production pipeline runs: null keys, duplicate primary keys,
+    referential orphans (anti-join vs customer), non-positive
+    amounts, out-of-range dates, all counted in ONE pass (plus one
+    key-distinct and one anti-join). Violations are planted
+    deterministically via modulus rules so the query PROVES each
+    detector fires (an all-green audit would prove nothing).
+
+    Scale: the null/range checks are conditional sums riding the
+    scan; duplicate detection partial-aggs on the key; the orphan
+    check broadcasts the customer key set at dim scale (degrades to
+    shuffled left-anti at fact-scale dims).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    mutated = orders.select(
+        k.alias("o_orderkey"),
+        F.when(k % 97 == 0, F.lit(None).cast("long"))
+        .when(k % 103 == 0, F.lit(10_000_000) + k)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.when(k % 89 == 0, F.lit(-1.0)).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(k % 101 == 0, F.lit("1970-01-01").cast("timestamp"))
+        .otherwise(F.col("o_orderdate"))
+        .alias("o_orderdate"),
+    )
+    dirty = mutated.unionAll(
+        orders.filter(k % 211 == 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+        )
+    )
+    checks = dirty.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("n_null_custkey"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("n_nonpositive_price"),
+        F.sum(
+            F.when(F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"), 1).otherwise(0)
+        ).alias("n_date_out_of_range"),
+    )
+    dups = (
+        dirty.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count("*").alias("n_dup_keys"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orphans = (
+        dirty.filter(F.col("o_custkey").isNotNull())
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count("*").alias("n_orphan_custkey"))
+    )
+    return checks.crossJoin(dups).crossJoin(orphans).select(
+        "n_rows",
+        "n_null_custkey",
+        "n_dup_keys",
+        "n_orphan_custkey",
+        "n_nonpositive_price",
+        "n_date_out_of_range",
+    )

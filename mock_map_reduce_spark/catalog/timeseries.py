@@ -461,3 +461,100 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         F.round(F.col("c") / n.cast("double"), 6).alias("p"),
     )
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle=f"""
+WITH {_E},
+v AS (SELECT event_id, user_id, t, value FROM e WHERE value IS NOT NULL),
+seg AS (
+  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+         LEAD(epoch_us(t)) OVER (PARTITION BY user_id ORDER BY t, event_id) - epoch_us(t) AS dt_us
+  FROM v
+)
+SELECT user_id, COUNT(*) AS n_segments,
+       ROUND(CAST(SUM(v * dt_us) AS DOUBLE) / CAST(SUM(dt_us) AS DOUBLE), 6) AS twap
+FROM seg WHERE dt_us IS NOT NULL
+GROUP BY user_id
+""",
+)
+def q_events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation is held until the
+    next one, so its weight is the interval length — the correct mean
+    for irregularly-sampled series (the arithmetic mean over-weights
+    bursts). Integer-microsecond durations × DECIMAL values keep the
+    weighted sums exact and merge-safe.
+
+    One exchange on the entity key: the lead() window and the final
+    per-user aggregation share partitioning.
+    """
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    seg = events.select(
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        (F.lead(us).over(w) - us).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return seg.groupBy("user_id").agg(
+        F.count("*").alias("n_segments"),
+        F.round(
+            F.sum(F.col("v") * F.col("dt_us")).cast("double")
+            / F.sum("dt_us").cast("double"),
+            6,
+        ).alias("twap"),
+    )
+
+
+@query(
+    "events_ohlc_hourly",
+    oracle=f"""
+WITH {_E},
+v AS (SELECT event_id, t, event_type, value FROM e WHERE value IS NOT NULL)
+SELECT event_type,
+       strftime(time_bucket(INTERVAL 1 HOUR, t), '{_FMT}') AS bar_start,
+       MIN({{'k': epoch_us(t), 'id': event_id, 'v': value}}).v AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX({{'k': epoch_us(t), 'id': event_id, 'v': value}}).v AS close,
+       COUNT(*) AS n_ticks
+FROM v GROUP BY 1, 2
+""",
+)
+def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars: open/high/low/close per (event_type, hour) — the
+    market-data downsampling shape. Open/close are argmin/argmax by
+    time realized as MIN/MAX over a (time, id, value) struct — a
+    plain mergeable aggregate (no window, no sort), with the unique
+    event_id making the selection deterministic even on timestamp
+    ties. One exchange; partials combine map-side.
+    """
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    key = F.struct(
+        F.unix_micros("ts").alias("k"),
+        F.col("event_id").alias("id"),
+        F.col("value").alias("v"),
+    )
+    return (
+        events.groupBy(
+            "event_type",
+            F.window("ts", "1 hour").alias("w"),
+        )
+        .agg(
+            F.min(key).getField("v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(key).getField("v").alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+        .select(
+            "event_type",
+            F.date_format("w.start", ts.TS_FMT).alias("bar_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+        )
+    )

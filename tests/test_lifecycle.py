@@ -159,3 +159,36 @@ def test_regression_recovers_perfect_line(spark, tmp_path):
     _write_tbl(spark, str(tmp_path), "events", events)
     out = QUERIES["agg_regression_by_type"](spark, str(tmp_path)).collect()[0]
     assert out.slope == 2.0 and out.intercept == 10.0
+
+
+def test_ohlc_open_close_argmin_semantics(spark, tmp_path):
+    from mock_map_reduce_spark import registry
+
+    registry.load_all()
+    events = spark.createDataFrame(
+        [
+            (1, 1, datetime.datetime(2024, 1, 1, 10, 5), "tick", 5.0),
+            (2, 1, datetime.datetime(2024, 1, 1, 10, 20), "tick", 9.0),
+            (3, 1, datetime.datetime(2024, 1, 1, 10, 40), "tick", 1.0),
+            (4, 1, datetime.datetime(2024, 1, 1, 10, 55), "tick", 7.0),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    _write_tbl(spark, str(tmp_path), "events", events)
+    bars = registry.QUERIES["events_ohlc_hourly"](spark, str(tmp_path)).collect()
+    assert len(bars) == 1
+    b = bars[0]
+    assert (b.open, b.high, b.low, b.close, b.n_ticks) == (5.0, 9.0, 1.0, 7.0, 4)
+
+
+def test_dq_audit_every_detector_fires(spark):
+    """Each planted violation class is detected (nonzero) at sf0.001."""
+    from mock_map_reduce_spark import registry
+
+    registry.load_all()
+    r = registry.QUERIES["dq_orders_constraints"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.n_null_custkey > 0
+    assert r.n_dup_keys > 0
+    assert r.n_orphan_custkey > 0
+    assert r.n_nonpositive_price > 0
+    assert r.n_date_out_of_range > 0
