@@ -12,6 +12,7 @@ side, decimal sums wherever floats would drift.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from mock_map_reduce_spark.operators import relational as rel
 from mock_map_reduce_spark.operators import timeseries as ts
@@ -280,4 +281,66 @@ def q_dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orphan_custkey",
         "n_nonpositive_price",
         "n_date_out_of_range",
+    )
+
+
+@query(
+    "orders_open_backlog_daily",
+    oracle="""
+WITH iv AS (
+  SELECT o.o_orderkey,
+         CAST(o.o_orderdate AS DATE) AS d0,
+         CAST(MAX(l.l_shipdate) AS DATE) AS d1
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+),
+deltas AS (
+  SELECT d0 AS day, 1 AS delta FROM iv
+  UNION ALL
+  SELECT d1 + INTERVAL 1 DAY, -1 FROM iv
+),
+agg AS (SELECT CAST(day AS DATE) AS day, SUM(delta) AS net FROM deltas GROUP BY 1)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
+FROM agg
+""",
+)
+def q_orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog per day — interval counting via the sweep
+    line: every [orderdate, last shipdate] interval becomes a +1/−1
+    delta pair, deltas aggregate per day, and a running sum over the
+    day axis yields the concurrent-open count. The pattern that
+    replaces the day×interval range join (quadratic at 100 TB) with
+    one fact-side aggregation plus a window over the day-cardinality
+    table (thousands of rows regardless of data volume).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("shipped"))
+        .select(
+            F.to_date("o_orderdate").alias("d0"),
+            F.date_add(F.to_date("shipped"), 1).alias("d1"),
+        )
+    )
+    # one explode, not a union of two selects — a union would plan the
+    # join+groupBy branch twice
+    deltas = iv.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("d0").alias("day"), F.lit(1).alias("delta")),
+                F.struct(F.col("d1").alias("day"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e")
+    ).select("e.day", "e.delta")
+    agg = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return agg.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.sum("net").over(w).cast("long").alias("n_open"),
     )

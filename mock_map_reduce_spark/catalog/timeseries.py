@@ -558,3 +558,61 @@ def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ticks",
         )
     )
+
+
+@query(
+    "events_session_enriched",
+    oracle=f"""
+WITH {_E},
+l AS (
+  SELECT user_id, event_id, t,
+         lag(epoch_us(t)) OVER w AS prev_us
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+f AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN prev_us IS NULL OR (epoch_us(t) - prev_us) > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM l
+),
+s AS (
+  SELECT user_id, event_id, t,
+         CAST(SUM(new_s) OVER w2 AS BIGINT) AS session_id
+  FROM f WINDOW w2 AS (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id, event_id, session_id,
+       CAST(ROW_NUMBER() OVER w3 AS BIGINT) AS evt_idx,
+       (epoch_us(t) - MIN(epoch_us(t)) OVER w3r) // 1000000 AS secs_into_session
+FROM s
+WINDOW w3 AS (PARTITION BY user_id, session_id ORDER BY t, event_id),
+       w3r AS (PARTITION BY user_id, session_id)
+""",
+)
+def q_events_session_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT session context (session_windows aggregates; this
+    keeps every row): session id, 1-based index within the session,
+    seconds since session start. The enrichment features behind
+    "first action of the visit" / dwell-time models.
+
+    Two window families: the lag/cumsum session assignment partitions
+    by user; the in-session index/min re-partition by (user, session)
+    — a prefix-compatible key, so the sort is reused and only one
+    exchange on user_id appears in the plan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros("ts")
+    prev = F.lag(us).over(w)
+    new_s = F.when(prev.isNull() | ((us - prev) > 1800 * 1_000_000), 1).otherwise(0)
+    s = events.select("user_id", "event_id", "ts").withColumn(
+        "session_id", F.sum(new_s).over(wrun)
+    )
+    w3 = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    w3r = Window.partitionBy("user_id", "session_id")
+    return s.select(
+        "user_id",
+        "event_id",
+        "session_id",
+        F.row_number().over(w3).cast("long").alias("evt_idx"),
+        ((us - F.min(us).over(w3r)) / F.lit(1_000_000)).cast("long").alias("secs_into_session"),
+    )

@@ -208,3 +208,55 @@ def q_window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey", "o_orderpriority", F.ntile(4).over(w).alias("quartile")
     )
+
+
+@query(
+    "revenue_share_by_nation",
+    oracle="""
+WITH rev AS (
+  SELECT n_name AS nation,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS r
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey  = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1
+)
+SELECT nation, CAST(r AS DOUBLE) AS revenue,
+       ROUND(CAST(r AS DOUBLE) / CAST(SUM(r) OVER () AS DOUBLE), 6) AS share,
+       CAST(RANK() OVER (ORDER BY r DESC) AS INT) AS rnk
+FROM rev
+""",
+)
+def q_revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis (ratio-to-report): each nation's revenue,
+    its share of the global total, and its rank — the unpartitioned
+    window runs over the nation-cardinality aggregate (25 rows at any
+    data scale), so the single-partition stage is free; the star join
+    + groupBy upstream is the only corpus-scale work. Decimal revenue
+    keeps the shares deterministic under re-aggregation.
+    """
+    from mock_map_reduce_spark.sources import load_tables
+
+    li, orders, cust, nation = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    rev_expr = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,4)")
+    rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev_expr).cast("decimal(38,6)").alias("r"))
+    )
+    wall = Window.partitionBy()
+    return rev.select(
+        "nation",
+        F.col("r").cast("double").alias("revenue"),
+        F.round(
+            F.col("r").cast("double") / F.sum("r").over(wall).cast("double"), 6
+        ).alias("share"),
+        F.rank().over(Window.orderBy(F.desc("r"))).cast("int").alias("rnk"),
+    )

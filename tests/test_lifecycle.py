@@ -192,3 +192,48 @@ def test_dq_audit_every_detector_fires(spark):
     assert r.n_orphan_custkey > 0
     assert r.n_nonpositive_price > 0
     assert r.n_date_out_of_range > 0
+
+
+def test_backlog_sweep_line_counts_overlaps(spark, tmp_path):
+    """Two overlapping intervals -> n_open reaches 2 only on overlap days."""
+    from mock_map_reduce_spark import registry
+
+    registry.load_all()
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 1.0, datetime.datetime(2024, 1, 1), "p"),
+            (2, 11, "O", 1.0, datetime.datetime(2024, 1, 3), "p"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", datetime.datetime(2024, 1, 4)),
+            (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", datetime.datetime(2024, 1, 5)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    )
+    _write_tbl(spark, str(tmp_path), "orders", orders)
+    _write_tbl(spark, str(tmp_path), "lineitem", li)
+    out = {r.day: r.n_open for r in registry.QUERIES["orders_open_backlog_daily"](spark, str(tmp_path)).collect()}
+    # order 1 open Jan1..Jan4, order 2 open Jan3..Jan5
+    assert out["2024-01-01"] == 1
+    assert out["2024-01-03"] == 2
+    assert out["2024-01-05"] == 1  # order 1 closed after Jan4
+    assert out["2024-01-06"] == 0
+
+
+def test_session_enriched_single_exchange(spark):
+    """Session assignment + in-session windows share ONE exchange
+    (prefix-compatible partition keys)."""
+    from mock_map_reduce_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["events_session_enriched"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    n_shuffle = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    assert n_shuffle == 1, plan[:2000]
