@@ -450,3 +450,26 @@ ORDER BY n_name, acctbal DESC
     top-k. Catalyst decorrelates it into a ranked window join; both
     engines parse the same text.""",
 )
+
+
+_sql(
+    "sql_recursive_hierarchy",
+    """
+WITH RECURSIVE walk(p_partkey, anc, depth) AS (
+  SELECT p_partkey, p_partkey, 0 FROM part
+  UNION ALL
+  SELECT w.p_partkey, CAST(FLOOR(w.anc / 2) AS BIGINT), w.depth + 1
+  FROM walk w WHERE w.anc > 1
+)
+SELECT p_partkey, MAX(depth) AS depth_to_root, MIN(anc) AS root
+FROM walk GROUP BY p_partkey
+""",
+    """Recursive CTE (Spark 4's WITH RECURSIVE): walk a key-halving
+    parent hierarchy from every part to the root, reporting depth —
+    the org-chart / BOM-explosion shape, spelled identically in both
+    engines. Iteration count is log2(max key), so the recursion stays
+    shallow (~40 rounds) even at 100 TB key ranges; each round is one
+    filter+project over the frontier, and the final roll-up is a
+    plain partial-agg'd groupBy. Spark's manual-loop twin for
+    arbitrary edge lists is dedup_clusters (operators/dedup.py).""",
+)

@@ -53,3 +53,63 @@ def running_totals_per_user(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DISTINCT_SCHEMA = "user_id long, n_types long, n_events long"
+
+
+def distinct_types_per_user(events: DataFrame) -> DataFrame:
+    """Running per-user distinct event-type count via Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (typed state handles instead of one
+    opaque tuple): a ListState accumulates the seen types, a
+    ValueState the event tally, both keyed in the executor state
+    store and updated per micro-batch.
+
+    Scale: state per key is O(distinct types) — bounded — and the
+    API's per-state TTL (not used here: the demo stream is finite)
+    is the knob that expires idle users at unbounded ingest.
+
+    Dependency note: the transformWithState protocol speaks protobuf
+    between the JVM and the Python state server, so the runtime needs
+    ``google.protobuf`` (absent in minimal environments — the pytest
+    twin skips, and ``applyInPandasWithState`` above remains the
+    dependency-free custom-stateful path).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class DistinctTypes(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getListState("seen", "t string")
+            self._n = handle.getValueState("n", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            seen = {t for (t,) in self._seen.get()}
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+                new = set(pdf["event_type"].unique()) - seen
+                if new:
+                    self._seen.appendList("t string", [(t,) for t in sorted(new)])
+                    seen |= new
+            self._n.update((n,))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_types": [len(seen)], "n_events": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            DistinctTypes(),
+            outputStructType=DISTINCT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -41,3 +41,40 @@ def test_running_totals_match_batch(spark, sf_dir):
     assert not mismatches
     # float accumulation in pandas vs decimal in batch: totals agree to cents
     assert all(abs(got[u][1] - batch[u][1]) < 0.02 for u in got)
+
+
+def test_distinct_types_transform_with_state(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 typed-state API): running
+    per-user distinct-type counts equal the batch DISTINCT aggregate.
+    Requires google.protobuf (the API's JVM<->Python state protocol)."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not available: transformWithState protocol needs it")
+    from mock_map_reduce_spark.streaming.stateful import distinct_types_per_user
+
+    stream = distinct_types_per_user(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.user_id: (r.n_types, r.n_events)
+        for r in spark.sql("SELECT * FROM tws_out").collect()
+    }
+    batch = {
+        r.user_id: (r.nt, r.n)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("nt"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == batch
