@@ -170,3 +170,38 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Compact a directory of small parquet files into ~target-sized
+    ones; returns the output file count. The small-files maintenance
+    job every streaming/incremental sink eventually needs: thousands
+    of per-micro-batch or per-task files wreck scan planning (one
+    split + one footer fetch each) long before they wreck storage.
+
+    Sizing reads the real input bytes (not row counts), so the
+    repartition width tracks compression ratio. A plain round-robin
+    repartition balances output sizes; callers who also want
+    cluster-key locality should instead write via layout.zorder_layout
+    (operators/layout.py), which range-partitions on the Z-key.
+    """
+    import math
+    import os
+
+    df = spark.read.parquet(in_path)
+    total = 0
+    for f in df.inputFiles():
+        p = f.removeprefix("file://").removeprefix("file:")
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            pass
+    n = max(1, math.ceil(total / target_file_bytes))
+    df.repartition(n).write.mode("overwrite").parquet(out_path)
+    out = spark.read.parquet(out_path)
+    return len(out.inputFiles())

@@ -113,3 +113,65 @@ def distinct_types_per_user(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+SCD2_SCHEMA = "user_id long, state string, valid_from_us long, valid_to_us long, is_current int"
+SCD2_STATE_SCHEMA = "cur string, since_us long"
+
+
+def scd2_stream_per_user(events: DataFrame) -> DataFrame:
+    """Streaming SCD type-2 build — the stateful twin of
+    ``operators.timeseries.scd2_intervals``: per user, state holds the
+    current (state, since); when a micro-batch changes the state, the
+    CLOSED interval [since, change_ts) is emitted and the open one
+    replaces it in the store. Every snapshot also re-emits the open
+    interval (valid_to_us = -1, is_current = 1) so downstream sinks
+    upsert the live row.
+
+    The CDC-feed-to-dimension pattern at unbounded ingest: state per
+    key is O(1); interval rows append — no rescan of history. Batch
+    parity is pinned by tests/test_stateful_streaming.py (closed
+    intervals equal the batch build's on a single-batch replay).
+
+    Assumes event-time order within the processed stream (guaranteed
+    here by per-batch sorting inside the handler).
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cur, since = state.get if state.exists else (None, None)
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for ts_us, et in zip(pdf["ts_us"], pdf["event_type"]):
+                if cur is None:
+                    cur, since = et, int(ts_us)
+                elif et != cur:
+                    out.append((key[0], cur, since, int(ts_us), 0))
+                    cur, since = et, int(ts_us)
+        state.update((cur, since))
+        out.append((key[0], cur, since, -1, 1))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "state", "valid_from_us", "valid_to_us", "is_current"],
+        )
+
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SCD2_SCHEMA,
+            stateStructType=SCD2_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

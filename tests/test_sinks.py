@@ -109,3 +109,18 @@ def test_csv_malformed_rows_become_nulls_not_failures(spark, tmp_path):
     }
     assert rows[1] == 10 and rows[3] == 30
     assert rows[2] is None  # malformed cell -> null, job survives
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """64 tiny files compact to the computed width with row fidelity."""
+    from mock_map_reduce_spark.sources.tables import compact_parquet
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    spark.range(0, 10_000).repartition(64).write.parquet(src)
+    n_in = len(spark.read.parquet(src).inputFiles())
+    assert n_in >= 32  # genuinely fragmented
+    n_out = compact_parquet(spark, src, dst, target_file_bytes=128 << 20)
+    assert n_out == 1  # tiny total -> single file
+    a = sorted(r.id for r in spark.read.parquet(dst).collect())
+    assert a == list(range(10_000))

@@ -78,3 +78,31 @@ def test_distinct_types_transform_with_state(spark, sf_dir):
         .collect()
     }
     assert got == batch
+
+
+def test_scd2_stream_matches_batch_build(spark, sf_dir):
+    """Streaming SCD2 (single-batch replay): closed + open intervals
+    equal the batch scd2_intervals build exactly."""
+    from mock_map_reduce_spark.operators.timeseries import scd2_intervals
+    from mock_map_reduce_spark.streaming.stateful import scd2_stream_per_user
+
+    stream = scd2_stream_per_user(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("scd2_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.valid_from_us): (r.state, r.valid_to_us, r.is_current)
+        for r in spark.sql("SELECT * FROM scd2_out").collect()
+    }
+    batch = {
+        (r.user_id, r.valid_from_us): (r.state, r.valid_to_us, r.is_current)
+        for r in scd2_intervals(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == batch
