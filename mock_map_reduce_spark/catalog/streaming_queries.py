@@ -175,3 +175,38 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value",
         )
     )
+
+
+@query(
+    "streaming_scd2",
+    oracle=f"""
+WITH {_E},
+flagged AS (
+  SELECT user_id, event_type, t, event_id,
+         CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+changes AS (SELECT * FROM flagged WHERE chg = 1),
+iv AS (
+  SELECT user_id, event_type AS state, epoch_us(t) AS valid_from_us,
+         LEAD(epoch_us(t)) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to_us
+  FROM changes
+)
+SELECT user_id, state, valid_from_us,
+       COALESCE(valid_to_us, -1) AS valid_to_us,
+       CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current
+FROM iv
+""",
+)
+def q_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD type-2 (applyInPandasWithState CDC-to-dimension
+    build) driven to completion and checked against the SAME oracle as
+    the batch scd2_user_state — closed intervals emit on state change,
+    the open interval re-emits per snapshot (single-batch replay here,
+    so exactly once). State per key is O(1); intervals append-only.
+    """
+    from mock_map_reduce_spark.streaming.stateful import scd2_stream_per_user
+
+    stream = scd2_stream_per_user(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "drv_stream_scd2", mode="update")
+    return spark.table("drv_stream_scd2")
