@@ -210,3 +210,25 @@ def q_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = scd2_stream_per_user(read_events_stream(spark, sf_dir))
     run_to_memory(stream, "drv_stream_scd2", mode="update")
     return spark.table("drv_stream_scd2")
+
+
+@query(
+    "streaming_forward_fill",
+    oracle=f"""
+WITH {_E}
+SELECT event_id, user_id, epoch_us(t) AS ts_us,
+       LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING)
+         AS last_purchase_value
+FROM e
+""",
+)
+def q_streaming_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LOCF (stateful per-user last-purchase carry) driven to
+    completion against the SAME oracle as the batch
+    timeseries_forward_fill — one double of state per key."""
+    from mock_map_reduce_spark.streaming.stateful import forward_fill_stream_per_user
+
+    stream = forward_fill_stream_per_user(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "drv_stream_locf", mode="update")
+    return spark.table("drv_stream_locf")

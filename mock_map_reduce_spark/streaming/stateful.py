@@ -175,3 +175,59 @@ def scd2_stream_per_user(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+LOCF_SCHEMA = "event_id long, user_id long, ts_us long, last_purchase_value double"
+LOCF_STATE_SCHEMA = "v double"
+
+
+def forward_fill_stream_per_user(events: DataFrame) -> DataFrame:
+    """Streaming LOCF — the stateful twin of
+    ``operators.timeseries.forward_fill``: per user, ValueState holds
+    the last purchase value; every event row is emitted enriched with
+    it (NULL until the user's first purchase). State per key is ONE
+    double — the live-feature-serving shape (last price mark, last
+    sensor reading) at unbounded ingest.
+
+    Assumes event-time order within the processed stream (per-batch
+    sort inside the handler; single-batch replay in tests).
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            out = []
+            for eid, ts_us, et, v in zip(
+                pdf["event_id"], pdf["ts_us"], pdf["event_type"], pdf["value"]
+            ):
+                if et == "purchase" and v == v:  # not NaN
+                    last = float(v)
+                out.append((int(eid), key[0], int(ts_us), last))
+            yield pd.DataFrame(
+                out, columns=["event_id", "user_id", "ts_us", "last_purchase_value"]
+            )
+        if last is not None:
+            state.update((last,))
+
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=LOCF_SCHEMA,
+            stateStructType=LOCF_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -120,6 +120,10 @@ def test_lsh_group_pair_generation_plan(spark, sf_dir):
 #                               per k-center round
 #   approx_distinct_merged:     1-row merged-estimate × 1-row direct-
 #                               estimate crossJoin (scalar combine)
+#   dq_orders_constraints:      1-row checks × 1-row dup-count × 1-row
+#                               orphan-count crossJoins (each side is a
+#                               global aggregate — exactly one row by
+#                               construction)
 _BOUNDED_BNLJ = {
     "similarity_topk_bruteforce",
     "similarity_ann_ivf",
@@ -129,6 +133,7 @@ _BOUNDED_BNLJ = {
     "similarity_kmeans_pp",
     "text_tfidf",
     "range_join_banded",
+    "dq_orders_constraints",
     "approx_distinct_merged",
     "events_dau_wau_stickiness",  # distinct-days table (tiny) × day-user pairs
 }
