@@ -45,6 +45,8 @@ HEADLINE = [
     "text_rank_surprisal",
     "session_windows",
     "asof_join_purchases",
+    "events_session_enriched",
+    "orders_open_backlog_daily",
     "multimodal_image_features",
 ]
 
