@@ -91,6 +91,13 @@ def main() -> None:
     for name in HEADLINE:
         if name not in registry.QUERIES:
             continue
+        # Inter-query hygiene (uncounted): a driver GC lets Spark's
+        # ContextCleaner release finished queries' broadcast/shuffle
+        # blocks. Without it a long single-JVM session accumulates
+        # dead blocks until an organic full GC lands mid-measurement
+        # (observed: 10x spikes on late queries; periodicGC defaults
+        # to 30 min — far longer than this whole bench).
+        spark.sparkContext._jvm.System.gc()
         samples = sorted(run_once(name) for _ in range(reps))
         timings[name] = round(statistics.median(samples), 3)
         minmax[name] = [round(samples[0], 3), round(samples[-1], 3)]

@@ -53,6 +53,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Long-lived local sessions: executor-side broadcast/shuffle
+        # blocks are only released after a DRIVER GC notices the refs
+        # are dead; on a large heap organic GCs are ~never, so dead
+        # blocks pile up and late queries inherit multi-second pauses.
+        # The periodic GC (Spark default: 30 min) bounds that drift.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
         # parquet reader rejects; read as long and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
