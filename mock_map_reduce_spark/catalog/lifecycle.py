@@ -344,3 +344,40 @@ def q_orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.sum("net").over(w).cast("long").alias("n_open"),
     )
+
+
+@query(
+    "union_schema_evolution",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+),
+new AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT o_orderkey, o_custkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority, 'v1' AS schema_ver FROM old
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, 'v2' AS schema_ver FROM new
+""",
+)
+def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: an old snapshot missing a column unions
+    with the new wider schema via ``unionByName(allowMissingColumns)``
+    — absent columns surface as NULL, matched BY NAME (positional
+    UNION would silently misalign). The read path every long-lived
+    dataset needs once columns start being added.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    old = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("schema_ver", F.lit("v1"))
+    )
+    new = (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .withColumn("schema_ver", F.lit("v2"))
+    )
+    return old.unionByName(new, allowMissingColumns=True).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority", "schema_ver"
+    )

@@ -124,3 +124,26 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert n_out == 1  # tiny total -> single file
     a = sorted(r.id for r in spark.read.parquet(dst).collect())
     assert a == list(range(10_000))
+
+
+def test_partitionby_write_prunes_directories(spark, tmp_path):
+    """A filter on the partition column reads ONLY that partition's
+    files (directory pruning — no footer even touched elsewhere)."""
+    from mock_map_reduce_spark.sources import load_table, write_parquet
+
+    out = str(tmp_path / "by_type")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    write_parquet(events, out, partition_by=["event_type"])
+    all_files = {
+        r.f for r in spark.read.parquet(out).select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    one = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    pruned = {r.f for r in one.select(F.input_file_name().alias("f")).distinct().collect()}
+    assert 0 < len(pruned) < len(all_files)
+    assert all("event_type=purchase" in f for f in pruned)
+    # PartitionFilters (not PushedFilters) carry the predicate
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "purchase" in plan.split("PartitionFilters")[1][:200]
+    # and the data still round-trips
+    n = one.count()
+    assert n == events.filter(F.col("event_type") == "purchase").count()
