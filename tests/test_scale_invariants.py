@@ -82,3 +82,71 @@ def test_salted_join_distributes_on_salt(spark, sf_dir):
         assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_markov_probabilities_sum_to_one(spark, sf_dir):
+    """Per from_state the transition distribution is a probability
+    measure (Σp = 1 up to the per-cell rounding)."""
+    from mock_map_reduce_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["events_markov_transitions"](spark, sf_dir).collect()
+    by_state: dict[str, float] = {}
+    for r in rows:
+        by_state[r.from_state] = by_state.get(r.from_state, 0.0) + r.p
+    assert by_state and all(abs(s - 1.0) < 1e-4 for s in by_state.values())
+
+
+def test_gap_fill_is_dense_per_user(spark, sf_dir):
+    """Row count equals Σ(user span days); counts are non-negative and
+    per-user days are contiguous (the definition of gap-free)."""
+    import datetime
+
+    from mock_map_reduce_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["timeseries_gap_fill_daily"](spark, sf_dir).collect()
+    by_user: dict[int, list[str]] = {}
+    for r in rows:
+        assert r.n_events >= 0
+        by_user.setdefault(r.user_id, []).append(r.day)
+    for days in by_user.values():
+        ds = sorted(datetime.date.fromisoformat(d) for d in days)
+        assert (ds[-1] - ds[0]).days + 1 == len(ds)  # contiguous, no dup
+
+
+def test_backlog_is_nonnegative_and_closes_at_zero(spark, sf_dir):
+    """The sweep line never goes negative and ends at zero (every
+    interval that opens also closes)."""
+    from mock_map_reduce_spark import registry
+
+    registry.load_all()
+    rows = sorted(
+        registry.QUERIES["orders_open_backlog_daily"](spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert all(r.n_open >= 0 for r in rows)
+    assert rows[-1].n_open == 0
+
+
+def test_twap_bounded_by_value_range(spark, sf_dir):
+    """A weighted mean lies inside [min, max] of the averaged values."""
+    from pyspark.sql import functions as F
+
+    from mock_map_reduce_spark import registry
+    from mock_map_reduce_spark.sources import load_table
+
+    registry.load_all()
+    twap = {
+        r.user_id: r.twap
+        for r in registry.QUERIES["events_time_weighted_avg"](spark, sf_dir).collect()
+    }
+    bounds = {
+        r.user_id: (r.lo, r.hi)
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    assert all(bounds[u][0] - 1e-6 <= t <= bounds[u][1] + 1e-6 for u, t in twap.items())
