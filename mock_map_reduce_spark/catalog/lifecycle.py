@@ -381,3 +381,36 @@ def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return old.unionByName(new, allowMissingColumns=True).select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority", "schema_ver"
     )
+
+
+@query(
+    "pysource_synthdocs_pruned",
+    oracle="""
+SELECT i AS doc_id,
+       CAST(i // 125 AS INT) AS shard,
+       'doc ' || i || ' ' || substring(md5(CAST(i AS VARCHAR)), 1, 12) AS text,
+       CAST(length('doc ' || i || ' ' || substring(md5(CAST(i AS VARCHAR)), 1, 12)) AS INT) AS n_chars
+FROM range(750, 1000) t(i)
+""",
+)
+def q_pysource_synthdocs_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python data source (Spark 4 ``pyspark.sql.datasource``)
+    read THROUGH a pushed-down range predicate: the source plans its
+    own splits (8 equal shards) and ``pushFilters`` prunes the shard
+    set to the 2 that intersect doc_id >= 750 — tasks for the other 6
+    never launch (sources/pysource.py; pruning pinned by
+    tests/test_sources.py). The md5 text law makes the synthetic rows
+    closed-form for the oracle, so the source's output — not just its
+    plan — is hash-checked.
+    """
+    from mock_map_reduce_spark.sources.pysource import SynthDocsDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SynthDocsDataSource)
+    return (
+        spark.read.format("synthdocs")
+        .option("n_docs", 1000)
+        .option("n_shards", 8)
+        .load()
+        .filter(F.col("doc_id") >= 750)
+    )

@@ -59,6 +59,9 @@ def get_spark(
         # blocks pile up and late queries inherit multi-second pauses.
         # The periodic GC (Spark default: 30 min) bounds that drift.
         .config("spark.cleaner.periodicGC.interval", "2min")
+        # Allow custom Python data sources (sources/pysource.py) to
+        # receive pushed-down filters for partition pruning.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
         # parquet reader rejects; read as long and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,114 @@
+"""Custom Python data source (Spark 4 ``pyspark.sql.datasource``):
+a deterministic synthetic-documents source with real split planning
+and filter pushdown.
+
+This generalizes the reference's split enumeration (SURVEY §2.1 S2 —
+master.cc byte-range chunking): the SOURCE decides its partitions,
+and pushed-down predicates prune whole partitions before any task
+launches — the Python-API twin of parquet's PartitionFilters.
+
+Usage::
+
+    spark.dataSource.register(SynthDocsDataSource)
+    df = (spark.read.format("synthdocs")
+          .option("n_docs", 10_000).option("n_shards", 32).load())
+
+Pushdown contract: conjunctive ``doc_id`` range/equality filters
+(``>=``, ``>``, ``<``, ``<=``, ``=``) narrow the planned shard set;
+everything else is left for Spark to evaluate (returned un-consumed
+from ``pushFilters``). Spark re-applies even the consumed filters,
+so over-accepting can only prune, never corrupt.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+SCHEMA = "doc_id bigint, shard int, text string, n_chars int"
+
+
+def synth_row(i: int) -> tuple[int, int, str, int]:
+    """Deterministic row for doc id ``i`` (shard filled in by caller)."""
+    h = hashlib.md5(str(i).encode()).hexdigest()
+    text = f"doc {i} {h[:12]}"
+    return (i, -1, text, len(text))
+
+
+@dataclass
+class Shard(InputPartition):
+    start: int  # inclusive
+    end: int  # exclusive
+    index: int
+
+
+class SynthDocsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.n_shards = int(options.get("n_shards", 8))
+        self.lo = 0  # inclusive pushed lower bound
+        self.hi = self.n_docs  # exclusive pushed upper bound
+
+    def pushFilters(self, filters: list[Filter]):  # noqa: N802 (API name)
+        for f in filters:
+            col = getattr(f, "attribute", None)
+            if col == ("doc_id",):
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, int(f.value))
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, int(f.value) + 1)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, int(f.value))
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, int(f.value) + 1)
+                    continue
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, int(f.value))
+                    self.hi = min(self.hi, int(f.value) + 1)
+                    continue
+            yield f  # not handled here: Spark evaluates it post-scan
+
+    def partitions(self) -> list[Shard]:
+        """Equal-width shards intersected with the pushed [lo, hi) —
+        shards fully outside the bound never become tasks."""
+        width = max(1, -(-self.n_docs // self.n_shards))
+        out = []
+        for s in range(self.n_shards):
+            a, b = s * width, min((s + 1) * width, self.n_docs)
+            a2, b2 = max(a, self.lo), min(b, self.hi)
+            if a2 < b2:
+                out.append(Shard(a2, b2, s))
+        # Spark requires >= 1 partition even for an empty result
+        return out or [Shard(0, 0, 0)]
+
+    def read(self, partition: Shard):
+        for i in range(partition.start, partition.end):
+            doc_id, _, text, n = synth_row(i)
+            yield (doc_id, partition.index, text, n)
+
+
+class SynthDocsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocs"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> SynthDocsReader:  # noqa: ANN001
+        return SynthDocsReader(self.options)

@@ -58,3 +58,33 @@ def test_golden_counter_on_real_documents(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     got = {r.word: r["count"] for r in wc.word_count(docs).collect()}
     assert got == dict(golden)
+
+
+def test_python_datasource_pushdown_prunes_partitions(spark):
+    """Custom Python data source: pushFilters narrows the planned
+    shard set BEFORE task launch — 8 shards unfiltered, 2 after a
+    doc_id >= 750 range predicate; equality plans a single shard."""
+    from mock_map_reduce_spark.sources.pysource import SynthDocsDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SynthDocsDataSource)
+    df = (
+        spark.read.format("synthdocs")
+        .option("n_docs", 1000)
+        .option("n_shards", 8)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 1000
+    rng = df.filter("doc_id >= 750")
+    assert rng.rdd.getNumPartitions() == 2
+    assert rng.count() == 250
+    eq = df.filter("doc_id = 5")
+    assert eq.rdd.getNumPartitions() == 1
+    row = eq.collect()[0]
+    # deterministic md5 text law
+    import hashlib
+
+    assert row.text == "doc 5 " + hashlib.md5(b"5").hexdigest()[:12]
+    # residual (non-doc_id) filters still evaluate correctly post-scan
+    assert df.filter("n_chars = 18 AND doc_id < 10").count() == 10  # all 1-digit ids: 'doc N ' + 12 hex
