@@ -112,3 +112,47 @@ class SynthDocsDataSource(DataSource):
 
     def reader(self, schema) -> SynthDocsReader:  # noqa: ANN001
         return SynthDocsReader(self.options)
+
+    def simpleStreamReader(self, schema):  # noqa: ANN001, N802
+        return SynthDocsStreamReader(self.options)
+
+
+class SynthDocsStreamReader:
+    """Simple streaming reader over the same synthetic corpus: each
+    micro-batch advances one shard, so a finite corpus streams shard
+    by shard and then idles (offset stops advancing).
+
+    ``pyspark.sql.datasource.SimpleDataSourceStreamReader`` contract:
+    offsets are dicts; ``read(start)`` returns (rows, next_offset);
+    replays between offsets are exact (``readBetweenOffsets``), which
+    is what makes the source recoverable from a checkpoint.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.n_shards = int(options.get("n_shards", 8))
+        self.width = max(1, -(-self.n_docs // self.n_shards))
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"next_doc": 0}
+
+    def _rows(self, a: int, b: int):
+        # a LIST ITERATOR: the runtime requires an iterator (next())
+        # yet also pickles it for prefetch replay — a generator fails
+        # pickling, a bare list fails next(); iter(list) satisfies both
+        return iter(
+            [(i, a // self.width, *synth_row(i)[2:]) for i in range(a, b)]
+        )
+
+    def read(self, start: dict):  # noqa: N802
+        a = int(start["next_doc"])
+        b = min(a + self.width, self.n_docs)
+        return self._rows(a, b), {"next_doc": b}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        return self._rows(int(start["next_doc"]), int(end["next_doc"]))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+

@@ -88,3 +88,40 @@ def test_python_datasource_pushdown_prunes_partitions(spark):
     assert row.text == "doc 5 " + hashlib.md5(b"5").hexdigest()[:12]
     # residual (non-doc_id) filters still evaluate correctly post-scan
     assert df.filter("n_chars = 18 AND doc_id < 10").count() == 10  # all 1-digit ids: 'doc N ' + 12 hex
+
+
+def test_python_datasource_stream_matches_batch(spark):
+    """The custom source's STREAMING reader (SimpleDataSourceStreamReader,
+    one shard per micro-batch) lands exactly the batch reader's rows."""
+    from mock_map_reduce_spark.sources.pysource import SynthDocsDataSource
+
+    spark.dataSource.register(SynthDocsDataSource)
+    stream = (
+        spark.readStream.format("synthdocs")
+        .option("n_docs", 400)
+        .option("n_shards", 4)
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pys_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.doc_id, r.shard, r.text, r.n_chars)
+        for r in spark.sql("SELECT * FROM pys_stream").collect()
+    }
+    batch = {
+        (r.doc_id, r.shard, r.text, r.n_chars)
+        for r in spark.read.format("synthdocs")
+        .option("n_docs", 400)
+        .option("n_shards", 4)
+        .load()
+        .collect()
+    }
+    assert got == batch and len(got) == 400
