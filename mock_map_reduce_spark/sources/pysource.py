@@ -28,6 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -35,6 +36,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 SCHEMA = "doc_id bigint, shard int, text string, n_chars int"
@@ -116,6 +118,9 @@ class SynthDocsDataSource(DataSource):
     def simpleStreamReader(self, schema):  # noqa: ANN001, N802
         return SynthDocsStreamReader(self.options)
 
+    def writer(self, schema, overwrite):  # noqa: ANN001
+        return JsonlDirWriter(self.options, overwrite)
+
 
 class SynthDocsStreamReader:
     """Simple streaming reader over the same synthetic corpus: each
@@ -156,3 +161,59 @@ class SynthDocsStreamReader:
         pass
 
 
+
+
+@dataclass
+class _TaskFile(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class JsonlDirWriter(DataSourceWriter):
+    """Writer half of the custom source: JSON-lines files with the
+    classic two-phase commit — each task writes a uniquely-named temp
+    file and reports it in its commit message; only the DRIVER's
+    ``commit`` renames the complete set into place (``abort`` deletes
+    the temps). A re-executed task overwrites its own temp file, so
+    speculative/retried attempts cannot double-count — the same
+    rename-on-commit protocol as Spark's file sinks (and the
+    reference's text sink, slave.cc append, made exactly-once).
+    """
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _TaskFile:  # noqa: ANN001
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        os.makedirs(os.path.join(self.path, "_tmp"), exist_ok=True)
+        tmp = os.path.join(self.path, "_tmp", f"part-{pid:05d}.jsonl")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _TaskFile(path=tmp, n_rows=n)
+
+    def commit(self, messages) -> None:  # noqa: ANN001
+        import os
+
+        for m in messages:
+            final = os.path.join(self.path, os.path.basename(m.path))
+            os.replace(m.path, final)
+        try:
+            os.rmdir(os.path.join(self.path, "_tmp"))
+        except OSError:
+            pass
+
+    def abort(self, messages) -> None:  # noqa: ANN001
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)

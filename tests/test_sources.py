@@ -125,3 +125,44 @@ def test_python_datasource_stream_matches_batch(spark):
         .collect()
     }
     assert got == batch and len(got) == 400
+
+
+def test_python_datasource_writer_two_phase_commit(spark, tmp_path):
+    """Writer half: per-task temp files publish only at driver commit;
+    a failing write leaves NO visible output (abort cleans temps)."""
+    import glob
+    import json
+    import os
+
+    from mock_map_reduce_spark.sources.pysource import SynthDocsDataSource
+
+    spark.dataSource.register(SynthDocsDataSource)
+    out = str(tmp_path / "out")
+    (
+        spark.range(0, 100, 1, 4)
+        .selectExpr("id", "id * 2 AS dbl")
+        .write.format("synthdocs")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    files = sorted(glob.glob(os.path.join(out, "*.jsonl")))
+    rows = [json.loads(line) for f in files for line in open(f)]
+    assert len(files) == 4 and len(rows) == 100
+    assert sum(r["dbl"] for r in rows) == sum(2 * i for i in range(100))
+    assert not os.path.exists(os.path.join(out, "_tmp"))
+
+    # failure path: an exploding expression -> job aborts, nothing visible
+    bad = str(tmp_path / "bad")
+    import pytest
+
+    with pytest.raises(Exception):
+        (
+            spark.range(0, 10)
+            .selectExpr("CAST(raise_error('boom') AS STRING) AS x")
+            .write.format("synthdocs")
+            .option("path", bad)
+            .mode("append")
+            .save()
+        )
+    assert not glob.glob(os.path.join(bad, "*.jsonl"))
