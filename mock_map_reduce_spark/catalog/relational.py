@@ -644,3 +644,68 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "orders")
     out = df.groupBy("o_orderpriority").pivot("o_orderstatus", ["O", "F", "P"]).count()
     return out.na.fill(0, ["O", "F", "P"])
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+wedges AS (
+  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+  FROM pairs e1 JOIN pairs e2 ON e2.p1 = e1.p2
+),
+tri AS (
+  SELECT w.a, w.b, w.c FROM wedges w
+  JOIN pairs e3 ON e3.p1 = w.a AND e3.p2 = w.c
+)
+SELECT (SELECT COUNT(*) FROM pairs) AS n_edges,
+       (SELECT COUNT(*) FROM wedges) AS n_wedges,
+       (SELECT COUNT(*) FROM tri) AS n_triangles
+""",
+)
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph (parts sharing an
+    order) — the classic multi-way self-join benchmark. Edges are
+    id-ordered (p1 < p2) so each triangle counts exactly once: the
+    wedge join extends every edge through its endpoint, and the
+    closing join keeps wedges whose far endpoints are themselves an
+    edge.
+
+    Scale: edge building is order-local (per-order pair explode, then
+    DISTINCT); the wedge join shuffles edges on the shared vertex —
+    the step that blows up on high-degree vertices, bounded in
+    production by degeneracy ordering (direct edges from the
+    lower-degree endpoint, the standard skew guard for 100 TB graphs;
+    the id-ordering here is its deterministic stand-in). The closing
+    join is a plain equi-join on (a, c).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .distinct()
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    wedges = e1.join(e2, F.col("e2.p1") == F.col("e1.p2")).select(
+        F.col("e1.p1").alias("a"), F.col("e1.p2").alias("b"), F.col("e2.p2").alias("c")
+    )
+    tri = wedges.join(
+        e3, (F.col("e3.p1") == F.col("a")) & (F.col("e3.p2") == F.col("c"))
+    )
+    n_edges = pairs.agg(F.count("*").alias("n_edges"))
+    n_wedges = wedges.agg(F.count("*").alias("n_wedges"))
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    return (
+        n_edges.crossJoin(n_wedges)
+        .crossJoin(n_tri)
+        .select("n_edges", "n_wedges", "n_triangles")
+    )

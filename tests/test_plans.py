@@ -134,6 +134,7 @@ _BOUNDED_BNLJ = {
     "text_tfidf",
     "range_join_banded",
     "dq_orders_constraints",
+    "graph_triangle_count",  # same one-row scalar-combine crossJoins
     "approx_distinct_merged",
     "events_dau_wau_stickiness",  # distinct-days table (tiny) × day-user pairs
 }

@@ -38,3 +38,23 @@ def test_star_join_broadcasts_small_dims(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # dim flagged BROADCAST_SAFE must broadcast
     assert {(r.k, r.name) for r in out.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_triangle_count_on_planted_clique(spark, tmp_path):
+    """A 4-clique order (4 parts bought together): C(4,2)=6 edges,
+    C(4,3)=4 triangles; a disjoint 2-item order adds 1 edge, 0 triangles."""
+    import os
+
+    from mock_map_reduce_spark import registry
+
+    registry.load_all()
+    rows = [(1, p) for p in (10, 11, 12, 13)] + [(2, 20), (2, 21)]
+    li = spark.createDataFrame(
+        [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None) for o, p in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    li.coalesce(1).write.parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = registry.QUERIES["graph_triangle_count"](spark, str(tmp_path)).collect()[0]
+    assert (out.n_edges, out.n_triangles) == (7, 4)
