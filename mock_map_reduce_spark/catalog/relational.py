@@ -709,3 +709,93 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(n_tri)
         .select("n_edges", "n_wedges", "n_triangles")
     )
+
+
+_PR_DEC = "decimal(28,14)"
+
+
+@query(
+    "graph_pagerank",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT p1 AS src, p2 AS dst FROM pairs UNION ALL SELECT p2, p1 FROM pairs),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+r0 AS (SELECT src AS node, CAST(ROUND(1.0 / (SELECT n_nodes FROM n), 14) AS DECIMAL(28,14)) AS r FROM deg),
+c1 AS (
+  SELECT e.dst AS node, SUM(CAST(ROUND(CAST(r0.r AS DOUBLE) / deg.d, 14) AS DECIMAL(28,14))) AS s
+  FROM edges e JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src GROUP BY 1
+),
+r1 AS (SELECT node, CAST(ROUND(0.15 / (SELECT n_nodes FROM n) + 0.85 * CAST(s AS DOUBLE), 14) AS DECIMAL(28,14)) AS r FROM c1),
+c2 AS (
+  SELECT e.dst AS node, SUM(CAST(ROUND(CAST(r1.r AS DOUBLE) / deg.d, 14) AS DECIMAL(28,14))) AS s
+  FROM edges e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src GROUP BY 1
+),
+r2 AS (SELECT node, CAST(ROUND(0.15 / (SELECT n_nodes FROM n) + 0.85 * CAST(s AS DOUBLE), 14) AS DECIMAL(28,14)) AS r FROM c2)
+SELECT node, CAST(r AS DOUBLE) AS rank
+FROM r2 ORDER BY r DESC, node LIMIT 20
+""",
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (2 power iterations, damping 0.85) over the symmetrized
+    co-purchase graph — the iterative-NUMERIC companion to the
+    iterative-set dedup_clusters: like similarity_kmeans, every
+    per-step quantity is rounded to a fixed DECIMAL(28,14) before the
+    exact decimal SUM, so partitioning/retries/engines cannot reorder
+    a float accumulation — the ITERATION ITSELF is oracle-checked.
+
+    Scale: per iteration one join of edges to the rank vector on src
+    (both co-partitioned on the vertex key after the first shuffle)
+    and one groupBy(dst) with map-side combine; ranks/degrees are
+    O(nodes). The classic Pregel step expressed relationally.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .distinct()
+    )
+    edges = pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionAll(
+        pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("src").alias("node"),
+        F.round(F.lit(1.0) / F.col("n_nodes"), 14).cast(_PR_DEC).alias("r"),
+    )
+    for _ in range(2):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("r").cast("double") / F.col("d"), 14)
+                .cast(_PR_DEC)
+                .alias("contrib"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("contrib").alias("s"))
+        ranks = sums.crossJoin(F.broadcast(n_nodes)).select(
+            "node",
+            F.round(
+                F.lit(0.15) / F.col("n_nodes") + F.lit(0.85) * F.col("s").cast("double"),
+                14,
+            )
+            .cast(_PR_DEC)
+            .alias("r"),
+        )
+    return (
+        ranks.orderBy(F.desc("r"), F.asc("node"))
+        .limit(20)
+        .select("node", F.col("r").cast("double").alias("rank"))
+    )

@@ -135,6 +135,7 @@ _BOUNDED_BNLJ = {
     "range_join_banded",
     "dq_orders_constraints",
     "graph_triangle_count",  # same one-row scalar-combine crossJoins
+    "graph_pagerank",  # 1-row n_nodes scalar broadcast into each iteration
     "approx_distinct_merged",
     "events_dau_wau_stickiness",  # distinct-days table (tiny) × day-user pairs
 }

@@ -58,3 +58,28 @@ def test_triangle_count_on_planted_clique(spark, tmp_path):
     li.coalesce(1).write.parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
     out = registry.QUERIES["graph_triangle_count"](spark, str(tmp_path)).collect()[0]
     assert (out.n_edges, out.n_triangles) == (7, 4)
+
+
+def test_pagerank_star_graph_center_dominates(spark, tmp_path):
+    """Star co-purchase graph (one hub part in every order): the hub
+    outranks all leaves and total rank stays ~1."""
+    import os
+
+    from mock_map_reduce_spark import registry
+
+    registry.load_all()
+    # orders {1..6} each buy part 100 (hub) + one distinct leaf
+    rows = []
+    for o in range(1, 7):
+        rows += [(o, 100), (o, 100 + o)]
+    li = spark.createDataFrame(
+        [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None) for o, p in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    li.coalesce(1).write.parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = registry.QUERIES["graph_pagerank"](spark, str(tmp_path)).collect()
+    assert out[0].node == 100  # the hub wins
+    assert all(out[0].rank > r.rank for r in out[1:])
+    assert abs(sum(r.rank for r in out) - 1.0) < 1e-6  # probability mass preserved
