@@ -255,3 +255,49 @@ def q_agg_regression_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 9).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+@query(
+    "events_outliers_robust",
+    oracle="""
+WITH e AS (SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL),
+m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM e GROUP BY 1),
+d AS (SELECT e.event_id, e.event_type, e.value, m.med
+      FROM e JOIN m USING (event_type)),
+s AS (SELECT event_type, quantile_cont(ABS(value - med), 0.5) AS mad FROM d GROUP BY 1)
+SELECT d.event_type,
+       COUNT(*) AS n_outliers,
+       MIN(d.value) AS min_outlier,
+       MAX(d.value) AS max_outlier
+FROM d JOIN s USING (event_type)
+WHERE s.mad > 0 AND ABS(d.value - d.med) / (1.4826 * s.mad) > 3.5
+GROUP BY 1
+""",
+)
+def q_events_outliers_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: flag values whose modified z-score
+    |x − median| / (1.4826·MAD) exceeds 3.5 — the standard
+    outlier rule that, unlike mean/stddev z-scores, cannot be dragged
+    by the outliers it is hunting. Median/MAD tables are
+    group-cardinality-sized and broadcast back onto the fact scan;
+    the flagging predicate rides the scan.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    m = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    d = ev.join(F.broadcast(m), "event_type")
+    s = d.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    flagged = d.join(F.broadcast(s), "event_type").filter(
+        (F.col("mad") > 0)
+        & (F.abs(F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad")) > 3.5)
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n_outliers"),
+        F.min("value").alias("min_outlier"),
+        F.max("value").alias("max_outlier"),
+    )

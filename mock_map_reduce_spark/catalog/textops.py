@@ -518,3 +518,46 @@ def q_text_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.col("n").cast("double")) - F.col("sclnc") / F.col("n"), 6
         ).alias("entropy_nats"),
     )
+
+
+@query(
+    "text_keywords_topk",
+    oracle="""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, word,
+         round(tf * (ln((n_docs + 1.0) / (df + 1)) + 1.0), 6) AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, word, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS INT) AS rnk
+  FROM scored
+)
+SELECT doc_id, word, tfidf, rnk FROM ranked WHERE rnk <= 3
+""",
+)
+def q_text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: each document's top-3 TF-IDF terms — the
+    per-doc summary tags behind search facets and dataset cards.
+    Composes the tf_idf operator with a bounded per-doc ranking
+    window (deterministic tie-break on the word); the window
+    partitions on doc_id, the same key the tf aggregation already
+    shuffled on.
+    """
+    from pyspark.sql.window import Window
+
+    scored = tx.tf_idf(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "word", "tfidf", "rnk")
+    )
