@@ -649,9 +649,10 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_triangle_count",
     oracle="""
-WITH pairs AS (
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0),
+pairs AS (
   SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
-  FROM lineitem a JOIN lineitem b
+  FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
 wedges AS (
@@ -673,7 +674,9 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-ordered (p1 < p2) so each triangle counts exactly once: the
     wedge join extends every edge through its endpoint, and the
     closing join keeps wedges whose far endpoints are themselves an
-    edge.
+    edge. Demo graph: the deterministic l_partkey % 4 == 0 subgraph
+    (bounds the wedge blow-up inside a 1g bare-session driver at any
+    test SF; drop the filter on a real cluster).
 
     Scale: edge building is order-local (per-order pair explode, then
     DISTINCT); the wedge join shuffles edges on the shared vertex —
@@ -683,7 +686,11 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the id-ordering here is its deterministic stand-in). The closing
     join is a plain equi-join on (a, c).
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") % 4 == 0)
+    )
     a, b = li.alias("a"), li.alias("b")
     pairs = (
         a.join(
@@ -717,9 +724,10 @@ _PR_DEC = "decimal(28,14)"
 @query(
     "graph_pagerank",
     oracle="""
-WITH pairs AS (
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0),
+pairs AS (
   SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
-  FROM lineitem a JOIN lineitem b
+  FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
 edges AS (SELECT p1 AS src, p2 AS dst FROM pairs UNION ALL SELECT p2, p1 FROM pairs),
@@ -747,13 +755,18 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-step quantity is rounded to a fixed DECIMAL(28,14) before the
     exact decimal SUM, so partitioning/retries/engines cannot reorder
     a float accumulation — the ITERATION ITSELF is oracle-checked.
+    Same l_partkey % 4 == 0 demo subgraph as graph_triangle_count.
 
     Scale: per iteration one join of edges to the rank vector on src
     (both co-partitioned on the vertex key after the first shuffle)
     and one groupBy(dst) with map-side combine; ranks/degrees are
     O(nodes). The classic Pregel step expressed relationally.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") % 4 == 0)
+    )
     a, b = li.alias("a"), li.alias("b")
     pairs = (
         a.join(

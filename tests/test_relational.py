@@ -48,7 +48,7 @@ def test_triangle_count_on_planted_clique(spark, tmp_path):
     from mock_map_reduce_spark import registry
 
     registry.load_all()
-    rows = [(1, p) for p in (10, 11, 12, 13)] + [(2, 20), (2, 21)]
+    rows = [(1, p) for p in (12, 16, 20, 24)] + [(2, 40), (2, 44)]
     li = spark.createDataFrame(
         [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None) for o, p in rows],
         "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
@@ -71,7 +71,7 @@ def test_pagerank_star_graph_center_dominates(spark, tmp_path):
     # orders {1..6} each buy part 100 (hub) + one distinct leaf
     rows = []
     for o in range(1, 7):
-        rows += [(o, 100), (o, 100 + o)]
+        rows += [(o, 100), (o, 100 + 4 * o)]
     li = spark.createDataFrame(
         [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None) for o, p in rows],
         "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
