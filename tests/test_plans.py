@@ -132,6 +132,7 @@ _BOUNDED_BNLJ = {
     "similarity_kmeans",
     "similarity_kmeans_pp",
     "text_tfidf",
+    "text_keywords_topk",  # built on tf_idf: same 1-row n_docs broadcast
     "range_join_banded",
     "dq_orders_constraints",
     "graph_triangle_count",  # same one-row scalar-combine crossJoins
