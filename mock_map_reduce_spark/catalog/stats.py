@@ -105,3 +105,116 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(qlit, F.col("pos") + 1).alias("quantile"),
         (F.abs(F.col("z.qs") - F.col("z.exact")) <= 0.02 * F.col("rng")).alias("within_tol"),
     )
+
+
+@query(
+    "ab_test_two_proportion",
+    oracle="""
+WITH u AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+         MAX(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+s AS (SELECT variant, COUNT(*) AS n, SUM(converted) AS conv FROM u GROUP BY 1),
+w AS (
+  SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+         MAX(CASE WHEN variant = 0 THEN conv END) AS c0,
+         MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+         MAX(CASE WHEN variant = 1 THEN conv END) AS c1
+  FROM s
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
+       CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+       ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+       ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+       ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 6) AS z_stat
+FROM w
+""",
+)
+def q_ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: per-variant conversion (user_id parity
+    as the deterministic assignment; conversion = any purchase with
+    value >= 150) and the pooled two-proportion z statistic — the
+    experimentation primitive over raw event logs. The per-user
+    reduce (max-flag) and per-variant roll-up are two chained
+    map-side-combined aggregations; the z arithmetic runs on a
+    2-row table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 150), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).cast("int").alias("variant"), "converted")
+    s = u.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    w = s.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    c0d, c1d = F.col("c0").cast("double"), F.col("c1").cast("double")
+    p0, p1 = c0d / F.col("n0"), c1d / F.col("n1")
+    pool = (c0d + c1d) / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(
+        pool * (F.lit(1) - pool) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    return w.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("c0").cast("long").alias("c0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("c1").cast("long").alias("c1"),
+        F.round(p0, 6).alias("rate0"),
+        F.round(p1, 6).alias("rate1"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+@query(
+    "stat_chi_square_independence",
+    oracle="""
+WITH o AS (SELECT event_type, CAST(user_id % 2 AS INT) AS g FROM events),
+c AS (SELECT event_type, g, COUNT(*) AS n FROM o GROUP BY 1, 2),
+tot AS (SELECT SUM(n) AS n_tot FROM c),
+rows_ AS (SELECT event_type, SUM(n) AS n_row FROM c GROUP BY 1),
+cols AS (SELECT g, SUM(n) AS n_col FROM c GROUP BY 1)
+SELECT ROUND(SUM(POW(c.n - CAST(r.n_row AS DOUBLE) * l.n_col / t.n_tot, 2)
+             / (CAST(r.n_row AS DOUBLE) * l.n_col / t.n_tot)), 6) AS chi2,
+       CAST((COUNT(DISTINCT c.event_type) - 1) * (COUNT(DISTINCT c.g) - 1) AS INT) AS dof
+FROM c JOIN rows_ r USING (event_type) JOIN cols l USING (g) CROSS JOIN tot t
+""",
+)
+def q_stat_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event_type vs a deterministic
+    user cohort — the contingency-table significance companion to
+    stat_crosstab. Expected counts derive from row/column marginals
+    of the (types × 2)-cell table; all joins run at contingency-table
+    cardinality, so only the initial count aggregation touches
+    corpus-scale data.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 2).cast("int").alias("g")
+    )
+    c = ev.groupBy("event_type", "g").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").alias("n_tot"))
+    rows_ = c.groupBy("event_type").agg(F.sum("n").alias("n_row"))
+    cols = c.groupBy("g").agg(F.sum("n").alias("n_col"))
+    j = (
+        c.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols), "g")
+        .crossJoin(F.broadcast(tot))
+    )
+    expected = F.col("n_row").cast("double") * F.col("n_col") / F.col("n_tot")
+    return j.agg(
+        F.round(F.sum(F.pow(F.col("n") - expected, 2) / expected), 6).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("g") - 1)
+        ).cast("int").alias("dof"),
+    )

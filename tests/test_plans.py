@@ -137,6 +137,7 @@ _BOUNDED_BNLJ = {
     "dq_orders_constraints",
     "graph_triangle_count",  # same one-row scalar-combine crossJoins
     "graph_pagerank",  # 1-row n_nodes scalar broadcast into each iteration
+    "stat_chi_square_independence",  # 1-row grand-total crossJoin onto the cell table
     "approx_distinct_merged",
     "events_dau_wau_stickiness",  # distinct-days table (tiny) × day-user pairs
 }
