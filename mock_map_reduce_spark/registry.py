@@ -121,6 +121,11 @@ PRIORITY: list[str] = [
     "json_funcs",
     "json_agg",
 ]
+# Queries added later in round 5 (lifecycle, graph, experimentation,
+# streaming twins, pysource, recursive CTE, keywords/outliers, ...)
+# intentionally register BEHIND this list: every PRIORITY name is still
+# driver-unconfirmed, and the sample is ~50. The next rotation should
+# front-load whatever tools/confirmation_status.py --suggest reports.
 
 
 def _reorder() -> None:
