@@ -414,3 +414,42 @@ def q_pysource_synthdocs_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .filter(F.col("doc_id") >= 750)
     )
+
+
+@query(
+    "events_capped_running_sum",
+    oracle="""
+WITH RECURSIVE o AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_type = 'purchase' THEN -value ELSE value / 10 END AS delta,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+  FROM events WHERE value IS NOT NULL
+),
+bal AS (
+  SELECT event_id, user_id, rn, GREATEST(0.0, LEAST(1000.0, delta)) AS balance
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_id, o.user_id, o.rn,
+         GREATEST(0.0, LEAST(1000.0, b.balance + o.delta)) AS balance
+  FROM o JOIN bal b ON o.user_id = b.user_id AND o.rn = b.rn + 1
+)
+SELECT event_id, user_id, ROUND(balance, 6) AS balance FROM bal
+""",
+)
+def q_events_capped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running balance per user (credits accrue at value/10,
+    purchases draw down value; balance clamped to [0, 1000]) — the
+    classic NON-window-expressible fold: each step depends on the
+    clamped previous step, so the oracle needs a recursive CTE while
+    the engine side is an Arrow-batched applyInPandas fold (one
+    shuffle on the key). Proves the custom-operator seam end-to-end
+    with a value-hash, not just plumbing.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    delta = F.when(F.col("event_type") == "purchase", -F.col("value")).otherwise(
+        F.col("value") / 10
+    )
+    out = ts.capped_running_sum(ev, delta, cap=1000.0)
+    return out.select(
+        "event_id", "user_id", F.round("balance", 6).alias("balance")
+    )

@@ -616,3 +616,37 @@ def q_events_session_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w3).cast("long").alias("evt_idx"),
         ((us - F.min(us).over(w3r)) / F.lit(1_000_000)).cast("long").alias("secs_into_session"),
     )
+
+
+@query(
+    "events_debounce",
+    oracle=f"""
+WITH {_E},
+l AS (
+  SELECT event_id, user_id, event_type, t,
+         LAG(epoch_us(t)) OVER (PARTITION BY user_id, event_type ORDER BY t, event_id) AS prev_us
+  FROM e
+)
+SELECT event_id, user_id, event_type, epoch_us(t) AS ts_us
+FROM l
+WHERE prev_us IS NULL OR epoch_us(t) - prev_us > 60000000
+""",
+)
+def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: drop repeats of the same (user, event_type) arriving
+    within 60 s of the PREVIOUS RAW event — the log-cleaning pass that
+    kills double-clicks and retry storms before counting. One lag
+    window per (user, type); integer-microsecond gap compare (same
+    convention as sessionize). Note the lag form compares to the raw
+    predecessor; debounce-to-last-KEPT is a clamped fold — see
+    events_capped_running_sum for that operator class.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    prev = F.lag(us).over(w)
+    return (
+        events.withColumn("__prev", prev)
+        .filter(F.col("__prev").isNull() | ((us - F.col("__prev")) > 60_000_000))
+        .select("event_id", "user_id", "event_type", us.alias("ts_us"))
+    )

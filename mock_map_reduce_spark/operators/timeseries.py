@@ -396,3 +396,44 @@ def scd2_intervals(
         F.coalesce(valid_to, F.lit(-1)).alias("valid_to_us"),
         F.when(valid_to.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
     )
+
+
+def capped_running_sum(
+    events: DataFrame,
+    delta_col: Column,
+    cap: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    out_col: str = "balance",
+) -> DataFrame:
+    """Clamped running sum: balance' = clamp(balance + delta, 0, cap)
+    per key in event order — inventory/credit/quota semantics.
+
+    This fold is NOT window-expressible: the clamp makes each step
+    depend on the clamped PREVIOUS result, so no prefix-sum algebra
+    applies (SQL needs a recursive CTE; see the catalog oracle).
+    Exactly the case the brief's operator ladder reserves for a
+    Pandas-UDF-backed applyInPandas: one shuffle on the key, then a
+    vectorized per-group fold — state is one float per key, group
+    rows stream through Arrow.
+    """
+    import pandas as pd
+
+    events = events.select(
+        key_col, id_col, ts_col, delta_col.alias("__delta")
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col])
+        bal = 0.0
+        out = []
+        for d in pdf["__delta"]:
+            bal = max(0.0, min(cap, bal + float(d)))
+            out.append(bal)
+        pdf = pdf.assign(**{out_col: out})
+        return pdf[[id_col, key_col, out_col]]
+
+    return events.groupBy(key_col).applyInPandas(
+        fold, f"{id_col} long, {key_col} long, {out_col} double"
+    )

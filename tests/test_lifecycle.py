@@ -237,3 +237,23 @@ def test_session_enriched_single_exchange(spark):
 
     n_shuffle = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
     assert n_shuffle == 1, plan[:2000]
+
+
+def test_capped_running_sum_hits_cap_and_floor(spark):
+    """+600 +600 (cap 1000) -1500 (floor 0) +250 -> 600, 1000, 0, 250."""
+    from pyspark.sql import functions as F
+
+    from mock_map_reduce_spark.operators import timeseries as ts
+
+    events = spark.createDataFrame(
+        [
+            (1, 1, _ts(1), 600.0),
+            (2, 1, _ts(2), 600.0),
+            (3, 1, _ts(3), -1500.0),
+            (4, 1, _ts(4), 250.0),
+        ],
+        "event_id long, user_id long, ts timestamp, delta double",
+    )
+    out = ts.capped_running_sum(events, F.col("delta"), cap=1000.0)
+    got = {r.event_id: r.balance for r in out.collect()}
+    assert got == {1: 600.0, 2: 1000.0, 3: 0.0, 4: 250.0}
