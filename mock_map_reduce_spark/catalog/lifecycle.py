@@ -453,3 +453,32 @@ def q_events_capped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", F.round("balance", 6).alias("balance")
     )
+
+
+@query(
+    "events_ewma",
+    oracle="""
+WITH RECURSIVE o AS (
+  SELECT event_id, user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT event_id, user_id, rn, value AS ewma FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_id, o.user_id, o.rn, 0.2 * o.value + 0.8 * s.ewma
+  FROM o JOIN s ON o.user_id = s.user_id AND o.rn = s.rn + 1
+)
+SELECT event_id, user_id, ROUND(ewma, 6) AS ewma FROM s
+""",
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing (alpha = 0.2) of each user's value series — the
+    second member of the clamped-fold operator class (recurrence on
+    the previous OUTPUT; recursive-CTE oracle, applyInPandas engine
+    side; see events_capped_running_sum). The smoothing everybody
+    reaches for before anomaly thresholds and trend charts.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    out = ts.ewma(ev, "value", alpha=0.2)
+    return out.select("event_id", "user_id", F.round("ewma", 6).alias("ewma"))

@@ -437,3 +437,42 @@ def capped_running_sum(
     return events.groupBy(key_col).applyInPandas(
         fold, f"{id_col} long, {key_col} long, {out_col} double"
     )
+
+
+def ewma(
+    events: DataFrame,
+    value_col: str,
+    alpha: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average per key in event order:
+    y_1 = x_1; y_n = alpha*x_n + (1-alpha)*y_{n-1}.
+
+    Same operator class as capped_running_sum — the recurrence depends
+    on the previous OUTPUT, so it is not window/prefix-sum
+    expressible (the closed form needs (1-alpha)^(-i) factors that
+    overflow). Arrow-batched applyInPandas fold behind one key
+    shuffle; the multiply-add order matches the SQL oracle exactly,
+    so results are bit-identical.
+    """
+    import pandas as pd
+
+    events = events.select(key_col, id_col, ts_col, value_col)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col])
+        y = None
+        out = []
+        for x in pdf[value_col]:
+            x = float(x)
+            y = x if y is None else alpha * x + (1 - alpha) * y
+            out.append(y)
+        pdf = pdf.assign(**{out_col: out})
+        return pdf[[id_col, key_col, out_col]]
+
+    return events.groupBy(key_col).applyInPandas(
+        fold, f"{id_col} long, {key_col} long, {out_col} double"
+    )
