@@ -232,3 +232,34 @@ def q_streaming_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = forward_fill_stream_per_user(read_events_stream(spark, sf_dir))
     run_to_memory(stream, "drv_stream_locf", mode="update")
     return spark.table("drv_stream_locf")
+
+
+@query(
+    "streaming_ewma",
+    oracle="""
+WITH RECURSIVE o AS (
+  SELECT event_id, user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT event_id, user_id, rn, value AS ewma FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_id, o.user_id, o.rn, 0.2 * o.value + 0.8 * s.ewma
+  FROM o JOIN s ON o.user_id = s.user_id AND o.rn = s.rn + 1
+)
+SELECT event_id, user_id, ROUND(ewma, 6) AS ewma FROM s
+""",
+)
+def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA (stateful per-user smoothing, one double of
+    state) driven to completion against the SAME recursive-CTE oracle
+    as the batch events_ewma — the clamped-fold class running on the
+    streaming engine."""
+    from mock_map_reduce_spark.streaming.stateful import ewma_stream_per_user
+
+    stream = ewma_stream_per_user(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "drv_stream_ewma", mode="update")
+    return spark.table("drv_stream_ewma").select(
+        "event_id", "user_id", F.round("ewma", 6).alias("ewma")
+    )

@@ -231,3 +231,46 @@ def forward_fill_stream_per_user(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EWMA_SCHEMA = "event_id long, user_id long, ewma double"
+EWMA_STATE_SCHEMA = "y double"
+
+
+def ewma_stream_per_user(events: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Streaming EWMA — the stateful twin of operators.timeseries.ewma:
+    ValueState carries the previous smoothed value per user; each event
+    emits its updated y. The clamped-fold class at unbounded ingest
+    (state: ONE double per key), same recursive-CTE oracle as the
+    batch build. Assumes event-time order within the processed stream
+    (per-batch sort; single-batch replay in the gate)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        y = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            out = []
+            for eid, x in zip(pdf["event_id"], pdf["value"]):
+                x = float(x)
+                y = x if y is None else alpha * x + (1 - alpha) * y
+                out.append((int(eid), key[0], y))
+            yield pd.DataFrame(out, columns=["event_id", "user_id", "ewma"])
+        if y is not None:
+            state.update((y,))
+
+    from pyspark.sql import functions as F
+
+    return (
+        events.filter(F.col("value").isNotNull())
+        .select("event_id", "user_id", "value", F.unix_micros("ts").alias("ts_us"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=EWMA_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
