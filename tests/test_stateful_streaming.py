@@ -106,3 +106,26 @@ def test_scd2_stream_matches_batch_build(spark, sf_dir):
         for r in scd2_intervals(load_table(spark, sf_dir, "events")).collect()
     }
     assert got == batch
+
+
+def test_ewma_stream_matches_batch_fold(spark, sf_dir):
+    """Streaming EWMA (single-batch replay) equals the batch
+    applyInPandas fold exactly."""
+    from mock_map_reduce_spark.operators.timeseries import ewma
+    from mock_map_reduce_spark.streaming.stateful import ewma_stream_per_user
+
+    stream = ewma_stream_per_user(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ewma_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.event_id: r.ewma for r in spark.sql("SELECT * FROM ewma_out").collect()}
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    batch = {r.event_id: r.ewma for r in ewma(ev, "value", alpha=0.2).collect()}
+    assert got == batch
