@@ -16,6 +16,8 @@ Split by surface area; each module corresponds to a SURVEY.md §2 slice:
                   SimHash, n-gram Jaccard, components, decontamination)
     similarity  — vector search (brute force, LSH, IVF, k-means, int8,
                   product quantization + ADC)
+    retrieval   — BM25 ranking, inverted-index build, blocked fuzzy
+                  (edit-distance) vocabulary matching
     textops     — text analysis (lang-id, quality, tokens, fingerprints,
                   TF-IDF, surprisal, chunking, PII, corpus profile)
     timeseries  — windows, sessionization (hand-rolled + built-in),
@@ -38,6 +40,7 @@ from mock_map_reduce_spark.catalog import (  # noqa: F401
     stats,
     multimodal,
     relational,
+    retrieval,
     scale,
     semistructured,
     streaming_queries,

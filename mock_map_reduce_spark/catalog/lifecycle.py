@@ -482,3 +482,33 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     out = ts.ewma(ev, "value", alpha=0.2)
     return out.select("event_id", "user_id", F.round("ewma", 6).alias("ewma"))
+
+
+@query(
+    "scd2_point_in_time",
+    oracle=f"""
+WITH {_E},
+s AS (SELECT user_id, event_type, t, event_id FROM e WHERE event_type IN ('signup', 'error')),
+p AS (SELECT user_id, event_id, t FROM e WHERE event_type = 'purchase')
+SELECT p.user_id, p.event_id, epoch_us(p.t) AS t_us,
+       (SELECT s.event_type FROM s
+         WHERE s.user_id = p.user_id AND s.t <= p.t
+         ORDER BY s.t DESC, s.event_id DESC LIMIT 1) AS status
+FROM p
+""",
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-time) dimension lookup: each purchase gets
+    the account status — the latest signup/error state — in effect at
+    purchase time; purchases before any status are NULL.
+
+    The read path for the scd2_user_state dimension, implemented as
+    union + one LOCF window per key instead of a non-equi interval
+    join (operators/timeseries.point_in_time_state). The oracle is the
+    independent spec — a correlated latest-state-at-or-before-t
+    subquery — so the window mechanics are fully checked.
+    """
+    events = load_table(spark, sf_dir, "events")
+    status = events.filter(F.col("event_type").isin("signup", "error"))
+    purchases = events.filter(F.col("event_type") == "purchase")
+    return ts.point_in_time_state(status, purchases)

@@ -1,0 +1,141 @@
+"""Retrieval catalog: BM25 ranking, inverted-index construction,
+blocked fuzzy vocabulary matching.
+
+Completes the text family with the ranking/indexing side of an IR
+stack (reference parity: none — its text surface is word count,
+slave.cc:77-203; these are the §2.2 "beyond the reference" shapes a
+training-data pipeline uses for retrieval-based filtering).
+
+Float determinism (BM25): both engines add the per-term double
+contributions in the same fixed left-to-right order over identical
+integer inputs; the only per-engine libm call is ln(), so scores
+round to 6 before the rank/cut (the similarity-family convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mock_map_reduce_spark.operators import retrieval as ir
+from mock_map_reduce_spark.registry import query
+from mock_map_reduce_spark.sources import load_table
+
+_TOKS = """
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS w
+  FROM documents
+)
+"""
+
+BM25_TERMS = ("spark", "merge", "window")
+_K1, _B, _K = 1.2, 0.75, 10
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{i}" for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    # Mirror the Spark expression tree exactly: k1+1 and 1-b fold to
+    # literals driver-side, avgdl = sum_dl/n_docs as doubles, and the
+    # term contributions add left-to-right.
+    contrib = [
+        f"(ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (CAST(tf_{i} AS DOUBLE) * {_K1 + 1.0}))"
+        f" / (CAST(tf_{i} AS DOUBLE) + {_K1} * ({1.0 - _B} + {_B} * (dl / avgdl)))"
+        for i in range(len(BM25_TERMS))
+    ]
+    score = " + ".join(contrib)
+    return f"""
+WITH {_TOKS},
+per_doc AS (
+  SELECT doc_id, len(w) AS dl,
+         {tf_cols}
+  FROM toks
+),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+         {df_cols}
+  FROM per_doc
+),
+scored AS (
+  SELECT doc_id, dl,
+         round({score}, 6) AS bm25
+  FROM per_doc CROSS JOIN (
+    SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl,
+           {", ".join(f"df_{i}" for i in range(len(BM25_TERMS)))}
+    FROM stats
+  )
+)
+SELECT doc_id, dl, bm25, rank FROM (
+  SELECT doc_id, dl, bm25,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {_K}
+"""
+
+
+@query("text_bm25_topk", oracle=_bm25_oracle())
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for a fixed 3-term query.
+
+    Plan: per-doc tf/dl are codegen'd array expressions (no explode);
+    corpus stats reduce to ONE broadcast row; the cut is a bounded
+    TakeOrdered — zero wide shuffles at any corpus size.
+    """
+    return ir.bm25_topk(load_table(spark, sf_dir, "documents"), BM25_TERMS, k=_K, k1=_K1, b=_B)
+
+
+@query(
+    "text_inverted_index",
+    oracle=f"""
+WITH {_TOKS},
+words AS (SELECT doc_id, unnest(list_distinct(w)) AS term FROM toks)
+SELECT term, count(*) AS df,
+       array_to_string((list_sort(list(doc_id)))[1:100], ',') AS postings
+FROM words GROUP BY term HAVING count(*) <= 400
+""",
+)
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term -> df + sorted postings head.
+
+    One exchange carrying (term, doc_id); max_df drops stop-term skew
+    (the ngram-Jaccard stop-shingle cap applied to postings), head
+    bounds the emitted row. Both knobs mirror in the oracle.
+    """
+    return ir.inverted_index(load_table(spark, sf_dir, "documents"), max_df=400, head=100)
+
+
+@query(
+    "fuzzy_word_variants",
+    oracle="""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS w
+  FROM documents
+),
+vocab AS (
+  SELECT word, count(*) AS df, substring(word, 1, 1) AS blk
+  FROM (SELECT unnest(w) AS word FROM toks) GROUP BY word
+)
+SELECT a.word AS word_a, b.word AS word_b,
+       levenshtein(a.word, b.word) AS dist,
+       a.df AS df_a, b.df AS df_b
+FROM vocab a JOIN vocab b
+  ON a.blk = b.blk AND a.word < b.word
+ AND abs(length(a.word) - length(b.word)) <= 2
+WHERE levenshtein(a.word, b.word) <= 2
+""",
+)
+def q_fuzzy_word_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance matching over the corpus vocabulary:
+    same-first-letter pairs within Levenshtein 2 (+ length band).
+
+    The entity-resolution candidate/verify shape: equi-join on a cheap
+    blocking key, expensive metric only inside the block — never
+    vocabulary x vocabulary. Spark and DuckDB both implement classic
+    Levenshtein, so the verify is engine-exact.
+    """
+    return ir.spelling_variants(load_table(spark, sf_dir, "documents"), max_edit=2, prefix_len=1)

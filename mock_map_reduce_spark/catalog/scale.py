@@ -295,3 +295,52 @@ def q_approx_distinct_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(rel_err) * F.col("exact_count")
         ).alias("direct_within_bound"),
     )
+
+
+@query(
+    "join_bloom_pruned",
+    oracle="""
+SELECT c.c_nationkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY c.c_nationkey
+""",
+)
+def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter semi-join reduction: the BUILDING-segment
+    customer keys fold into a 64 Kbit bitmap (one tiny exchange), the
+    bitmap broadcasts, and orders are pruned by k=3 codegen'd bit
+    tests BEFORE the exact join.
+
+    Bloom false positives cannot change the result (the join is still
+    exact), so the oracle is the PLAIN join — result-identity is the
+    proof the prune is semantics-free, exactly like word_count_salted
+    proving salting. Spark ships this rewrite natively as
+    spark.sql.optimizer.runtime.bloomFilter (injected only for
+    shuffle joins it deems worthwhile); doing it from primitives
+    makes the pattern available to any join and keeps the knobs
+    (n_bits, n_hashes) in user hands. At 100 TB the win is shuffling
+    only fact rows that can possibly match — with a broadcast-able
+    dim the join itself is already map-side, and the prune then pays
+    by skipping the probe hash lookups and downstream agg input.
+    tests/test_retrieval.py pins: pruned rowcount strictly below the full
+    fact count, superset of true matches, and result identity with
+    the un-pruned join.
+    """
+    from mock_map_reduce_spark.operators import bloom
+
+    orders, customer = (
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+    dim = customer.filter(F.col("c_mktsegment") == "BUILDING")
+    bitmap = bloom.bloom_bitmap(dim, "c_custkey")
+    pruned = bloom.bloom_prune(orders, bitmap, "o_custkey")
+    joined = pruned.join(F.broadcast(dim), pruned.o_custkey == dim.c_custkey)
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

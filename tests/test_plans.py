@@ -140,6 +140,8 @@ _BOUNDED_BNLJ = {
     "stat_chi_square_independence",  # 1-row grand-total crossJoin onto the cell table
     "approx_distinct_merged",
     "events_dau_wau_stickiness",  # distinct-days table (tiny) × day-user pairs
+    "text_bm25_topk",  # 1-row corpus-stats crossJoin broadcast onto the scan
+    "join_bloom_pruned",  # 1-row Bloom-bitmap crossJoin broadcast onto the fact scan
 }
 
 
