@@ -104,3 +104,33 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m")
     )
     return mapped.select(F.explode("m").alias("flag_status", "n_rows"))
+
+
+@query(
+    "json_variant_rollup",
+    oracle="""
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_mod,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY 1
+""",
+)
+def q_json_variant_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path: props parses once into the binary
+    variant encoding (parse_json), fields extract with typed
+    variant_get, and the query aggregates on the extracted value.
+
+    The modern semi-structured storage model for heterogeneous JSON at
+    scale — shredded binary variant instead of per-query string
+    re-parsing (json_funcs shows the from_json fixed-schema path; this
+    is the schema-flexible one). The oracle re-derives the same rollup
+    via DuckDB's JSON extraction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).cast("long").alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").cast("long").alias("sum_k"))
+    )

@@ -218,3 +218,115 @@ def q_stat_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFram
             (F.countDistinct("event_type") - 1) * (F.countDistinct("g") - 1)
         ).cast("int").alias("dof"),
     )
+
+
+_CMS_W = 16  # buckets per hash row (demo-sized so collisions actually occur)
+_CMS_D = 4   # independent hash rows
+_CMS_PROBES = ("spark", "data", "merge", "zzznotaword")
+
+
+def _cms_bucket_sql(i: str, word: str) -> str:
+    """0..15 bucket from the first hex nibble of a seeded md5 — the
+    dedup-family md5 idiom, bit-identical in both engines."""
+    return (
+        f"strpos('0123456789abcdef', substring(md5(CAST({i} AS VARCHAR) || '|' || {word}), 1, 1)) - 1"
+    )
+
+
+@query(
+    "sketch_count_min",
+    oracle=f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS w
+  FROM documents
+),
+vocab AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(w) AS word FROM toks) GROUP BY word
+),
+cms AS (
+  SELECT i, {_cms_bucket_sql("i", "word")} AS bucket, SUM(cnt) AS bsum
+  FROM vocab CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS i)
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT unnest(['{"','".join(_CMS_PROBES)}']) AS word
+),
+pb AS (
+  SELECT word, i, {_cms_bucket_sql("i", "word")} AS bucket
+  FROM probes CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS i)
+),
+est AS (
+  SELECT pb.word, CAST(MIN(COALESCE(cms.bsum, 0)) AS BIGINT) AS cms_est
+  FROM pb LEFT JOIN cms ON pb.i = cms.i AND pb.bucket = cms.bucket
+  GROUP BY pb.word
+)
+SELECT est.word, CAST(COALESCE(vocab.cnt, 0) AS BIGINT) AS exact_count,
+       est.cms_est, est.cms_est >= COALESCE(vocab.cnt, 0) AS is_overestimate
+FROM est LEFT JOIN vocab ON est.word = vocab.word
+""",
+)
+def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over corpus word counts, probed for a fixed
+    word set — ENGINE-EXACT (md5-seeded buckets, the dedup-family
+    idiom), so unlike the DataSketches HLL/t-digest entries the whole
+    sketch is bit-for-bit oracle-checked, not accuracy-gated.
+
+    The sketch completes the mergeable-summary family: HLL (distinct),
+    t-digest (quantiles), approx_top_k (heavy hitters), CMS (point
+    frequency). Build is two tiny exchanges (vocab, then d x w bucket
+    sums — the CMS table is d*w rows at ANY corpus size); probing
+    joins the broadcast sketch. The d bucket sums per probe take MIN —
+    the classic CMS guarantee est >= exact surfaces as an
+    is_overestimate column the oracle requires TRUE for all probes
+    (including the absent word, whose exact count is 0). w=16 is
+    demo-sized so collisions really happen; production widens w, the
+    plan is unchanged. Mergeability: bucket sums are plain SUMs, so
+    per-shard CMS tables union+re-sum exactly like
+    agg_partial_merge_variance states.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != F.lit(""))
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    def bucket(i: int, word_col: str) -> F.Column:
+        return F.expr(
+            f"instr('0123456789abcdef', substring(md5(concat('{i}|', {word_col})), 1, 1)) - 1"
+        ).cast("long")
+
+    hb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).cast("long").alias("i"), bucket(i, "word").alias("bucket"))
+                for i in range(_CMS_D)
+            ]
+        )
+    ).alias("hb")
+    cms = (
+        vocab.select("cnt", hb)
+        .select("hb.i", "hb.bucket", "cnt")
+        .groupBy("i", "bucket")
+        .agg(F.sum("cnt").alias("bsum"))
+    )
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _CMS_PROBES])).alias("word")
+    )
+    pb = probes.select("word", hb).select("word", "hb.i", "hb.bucket")
+    est = (
+        pb.join(F.broadcast(cms), ["i", "bucket"], "left")
+        .groupBy("word")
+        .agg(F.min(F.coalesce(F.col("bsum"), F.lit(0))).cast("long").alias("cms_est"))
+    )
+    return est.join(F.broadcast(vocab), "word", "left").select(
+        "word",
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("exact_count"),
+        "cms_est",
+        (F.col("cms_est") >= F.coalesce(F.col("cnt"), F.lit(0))).alias("is_overestimate"),
+    )
