@@ -48,6 +48,8 @@ HEADLINE = [
     "events_session_enriched",
     "orders_open_backlog_daily",
     "multimodal_image_features",
+    "text_feature_hashing",
+    "join_bloom_pruned",
 ]
 
 
@@ -74,7 +76,24 @@ def main() -> None:
     n_cores = spark.sparkContext.defaultParallelism
     spark.range(0, n_cores, 1, n_cores).mapInPandas(_warm, "id long").count()
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+
+    def calibrate() -> float:
+        """Single-thread CPU proxy (sha256 over 200 MB), Spark-free.
+
+        Recorded so cross-round totals can be normalized when the
+        driver lands on a different/noisier host: engine time scales
+        roughly with this constant, stalls and steal time inflate
+        wall-clock but not the min-of-N statistics below.
+        """
+        import hashlib
+
+        t0 = time.time()
+        h = hashlib.sha256()
+        block = bytes(1 << 20)
+        for _ in range(200):
+            h.update(block)
+        return round(time.time() - t0, 3)
 
     def run_once(name: str) -> float:
         t0 = time.time()
@@ -103,6 +122,10 @@ def main() -> None:
         minmax[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
     total = round(sum(timings.values()), 3)
+    # Noise on shared/virtualized hosts is strictly one-sided (stalls
+    # only ADD time), so the min-of-N total is the faithful engine
+    # throughput; the median total stays the headline for continuity.
+    total_min = round(sum(mm[0] for mm in minmax.values()), 3)
     print(
         json.dumps(
             {
@@ -111,6 +134,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_minmax": minmax,
+                "total_min": total_min,
+                "calib_sec": calibrate(),
                 "reps": reps,
                 "sf": sf,
             }

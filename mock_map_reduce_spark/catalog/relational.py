@@ -812,3 +812,82 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("node", F.col("r").cast("double").alias("rank"))
     )
+
+
+@query(
+    "basket_brand_lift",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+bc AS (SELECT p_brand, COUNT(*) AS n_b FROM items GROUP BY p_brand),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, n_ab, ca.n_b AS n_a, cb.n_b AS n_b,
+       round(CAST(n_ab AS DOUBLE) / n_orders, 6) AS support,
+       round(CAST(n_ab AS DOUBLE) / ca.n_b, 6) AS confidence,
+       round((CAST(n_ab AS DOUBLE) * n_orders) / (CAST(ca.n_b AS DOUBLE) * cb.n_b), 6) AS lift
+FROM pairs
+JOIN bc ca ON ca.p_brand = brand_a
+JOIN bc cb ON cb.p_brand = brand_b
+CROSS JOIN n
+WHERE n_ab >= 5
+""",
+)
+def q_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over orders: brand co-purchase
+    support / confidence / lift (the recommender's first analytic).
+
+    Scale shape: the basket item table is per-order DISTINCT brands —
+    pair generation is a basket-local self-join (bounded by basket
+    size², never corpus²), pair counts partial-agg before their
+    exchange, and the per-brand marginals + the one-row basket count
+    broadcast back onto the (tiny) pair table. The minsup floor
+    (n_ab >= 5) is the a-priori support prune that keeps the rule
+    table bounded at any order volume. Ratio arithmetic mirrors the
+    oracle expression-for-expression over exact integer counts.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    bc = items.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
+    a = items.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = items.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    ca = bc.select(F.col("p_brand").alias("brand_a"), F.col("n_b").alias("n_a"))
+    cb = bc.select(F.col("p_brand").alias("brand_b"), F.col("n_b").alias("n_b"))
+    j = (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n))
+    )
+    n_ab_d = F.col("n_ab").cast("double")
+    return j.select(
+        "brand_a",
+        "brand_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.round(n_ab_d / F.col("n_orders"), 6).alias("support"),
+        F.round(n_ab_d / F.col("n_a"), 6).alias("confidence"),
+        F.round(
+            (n_ab_d * F.col("n_orders")) / (F.col("n_a").cast("double") * F.col("n_b")), 6
+        ).alias("lift"),
+    )

@@ -14,7 +14,7 @@ round to 6 before the rank/cut (the similarity-family convention).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mock_map_reduce_spark.operators import retrieval as ir
 from mock_map_reduce_spark.registry import query
@@ -139,3 +139,58 @@ def q_fuzzy_word_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     Levenshtein, so the verify is engine-exact.
     """
     return ir.spelling_variants(load_table(spark, sf_dir, "documents"), max_edit=2, prefix_len=1)
+
+
+@query(
+    "text_feature_hashing",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS word
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', substring(md5('fh|' || word), 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substring(md5('fh|' || word), 2, 1)) - 1) AS feat,
+         CASE WHEN strpos('0123456789abcdef', substring(md5('fh|' || word), 3, 1)) - 1 < 8
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks
+)
+SELECT doc_id, CAST(feat AS BIGINT) AS feat, CAST(SUM(sgn) AS BIGINT) AS weight
+FROM h GROUP BY doc_id, feat
+HAVING SUM(sgn) <> 0
+""",
+)
+def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (HashingVectorizer / Vowpal Wabbit): every
+    token maps to one of 256 features via a seeded hash, with a
+    +/- sign bit so collisions cancel in expectation; per-doc feature
+    weights are signed counts and zero-weight (fully cancelled)
+    entries drop — the sparse fixed-width featurization that needs NO
+    vocabulary pass, so feature extraction is a single map-side
+    projection + one (doc, feat) partial-agg'd exchange at any corpus
+    size. ENGINE-EXACT: feature index and sign both derive from md5
+    nibbles (the dedup-family idiom), integer weights — bit-for-bit
+    oracle-checked. Production widens 256 -> 2^20 by taking more
+    nibbles; the plan is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != F.lit(""))
+        ).alias("word"),
+    )
+    hexpos = "instr('0123456789abcdef', substring(md5(concat('fh|', word)), {}, 1)) - 1"
+    h = toks.select(
+        "doc_id",
+        (
+            F.expr(hexpos.format(1)) * 16 + F.expr(hexpos.format(2))
+        ).cast("long").alias("feat"),
+        F.when(F.expr(hexpos.format(3)) < 8, F.lit(1)).otherwise(F.lit(-1)).alias("sgn"),
+    )
+    return (
+        h.groupBy("doc_id", "feat")
+        .agg(F.sum("sgn").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

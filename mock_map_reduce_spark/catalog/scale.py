@@ -344,3 +344,64 @@ def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@query(
+    "arrow_weighted_mean_per_type",
+    oracle="""
+WITH w AS (
+  SELECT event_type,
+         CAST(user_id % 5 + 1 AS BIGINT) AS wt,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_int
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, COUNT(*) AS n, CAST(SUM(wt) AS BIGINT) AS wsum,
+       round((CAST(SUM(wt * v_int) AS DOUBLE) / SUM(wt)) / 1000000.0, 6) AS wmean
+FROM w GROUP BY event_type
+""",
+)
+def q_arrow_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Arrow UDF (applyInArrow): per-event-type weighted
+    mean — the pyarrow-native sibling of applyInPandas, Spark 4's
+    zero-copy surface when the logic speaks Arrow arrays directly
+    (no pandas materialization).
+
+    Float determinism is engineered out: values fix to integer
+    micro-units (floor(v*1e6 + 0.5), mirrored in SQL) and the fold is
+    exact int64 arithmetic in BOTH engines, so summation ORDER cannot
+    matter; only the final quotient is a double, rounded to 6
+    engine-side. The shape every custom UDAF at 100 TB should take:
+    per-group state is 3 integers, merge-safe under any partitioning.
+    """
+    import pyarrow as pa
+
+    def weighted(table: pa.Table) -> pa.Table:
+        et = table.column("event_type")[0].as_py()
+        wts = [(u % 5) + 1 for u in table.column("user_id").to_pylist()]
+        import math
+
+        vints = [
+            int(math.floor(v * 1000000.0 + 0.5)) for v in table.column("value").to_pylist()
+        ]
+        swv = sum(w * v for w, v in zip(wts, vints))
+        sw = sum(wts)
+        return pa.table(
+            {
+                "event_type": [et],
+                "n": [len(wts)],
+                "wsum": [sw],
+                "wmean_raw": [(float(swv) / sw) / 1000000.0],
+            }
+        )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "user_id", "value")
+    )
+    out = ev.groupBy("event_type").applyInArrow(
+        weighted, "event_type string, n long, wsum long, wmean_raw double"
+    )
+    return out.select(
+        "event_type", "n", "wsum", F.round("wmean_raw", 6).alias("wmean")
+    )

@@ -142,6 +142,7 @@ _BOUNDED_BNLJ = {
     "events_dau_wau_stickiness",  # distinct-days table (tiny) × day-user pairs
     "text_bm25_topk",  # 1-row corpus-stats crossJoin broadcast onto the scan
     "join_bloom_pruned",  # 1-row Bloom-bitmap crossJoin broadcast onto the fact scan
+    "basket_brand_lift",  # 1-row basket-count crossJoin broadcast onto the rule table
 }
 
 
