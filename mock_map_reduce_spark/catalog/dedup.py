@@ -163,6 +163,46 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+WITH {_TOKS},
+{_GRAMS},
+stop AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > {MAX_DOC_FREQ}),
+kept AS (SELECT doc_id, gram FROM grams ANTI JOIN stop USING (gram)),
+sizes AS (SELECT doc_id, count(*) AS ng FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
+  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ns AS n_shared, sa.ng AS na, sb.ng AS nb,
+       CAST(ns AS DOUBLE) / least(sa.ng, sb.ng) AS containment
+FROM shared
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(ns AS DOUBLE) / least(sa.ng, sb.ng) >= {CONTAINMENT_THRESHOLD}
+""",
+)
+def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment >= 0.8: n_shared / min(|A|, |B|).
+
+    Catches the subset near-dups Jaccard misses — a short document
+    embedded in a long one (quotes, boilerplate wrappers) has a large
+    union, so jaccard stays low while containment approaches 1. Same
+    skew-bounded grouped posting-list plan as dedup_ngram_jaccard
+    (the exchange is shared when both run); ratios of exact integer
+    counts, bit-identical across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_containment_pairs(
+        docs, NGRAM, CONTAINMENT_THRESHOLD, max_doc_freq=MAX_DOC_FREQ
+    )
+
+
 # --- SimHash oracle fragments ----------------------------------------------
 # md5-nibble bit pattern (operators/dedup.simhash use_md5=True): bit b of
 # a token's 64-bit hash = bit (b%4) of hex nibble (b//4) of md5(tok).

@@ -403,6 +403,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: n_shared / min(|A|, |B|).
+
+    The asymmetric near-dup detector Jaccard misses: a short document
+    fully embedded in a long one has low Jaccard (the union is large)
+    but containment ~1.0 — the quote/boilerplate/subset case a
+    training-corpus dedup pass must catch (the motivation for
+    suffix-based substring dedup; this is its shingle-set
+    approximation). Same grouped posting-list plan as
+    ngram_jaccard_pairs via="group": ONE groupBy(gram) exchange, pairs
+    emitted per posting list by ordered-suffix slice-explode,
+    max_doc_freq as a plain size filter, ratios of exact integer
+    counts (bit-identical across engines).
+    """
+    g = shingles(docs, n, text_col, id_col)
+    grouped = g.groupBy("gram").agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+    if max_doc_freq is not None:
+        grouped = grouped.filter(F.size("ids") <= max_doc_freq)
+    kept = grouped.select("ids")
+    sizes = (
+        kept.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_grams"))
+    )
+    shared = (
+        kept.filter(F.size("ids") > 1)
+        .select("ids", F.posexplode("ids").alias("__i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(F.expr("slice(ids, __i + 2, size(ids))")).alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.col("n_shared").cast("double") / F.least("na", "nb").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_shared", "na", "nb", "containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -251,3 +251,23 @@ def test_survivors_by_quality_picks_best_member(spark):
     assert out[9] == 1  # singleton survives as itself
     cluster_keep = [k for k, v in out.items() if v == 3]
     assert cluster_keep == [2]  # quality argmax, not min-id
+
+
+def test_ngram_containment_catches_embedded_subset(spark):
+    """A short doc fully embedded in a long one: containment = 1.0
+    while jaccard stays below any useful threshold."""
+    short = "the quick brown fox jumps over the lazy dog"
+    long = short + " " + UNRELATED + " " + UNRELATED.replace("stock", "bond")
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=short), Row(doc_id=2, text=long), Row(doc_id=3, text=UNRELATED)]
+    )
+    pairs = {(r.id_a, r.id_b): r for r in dd.ngram_containment_pairs(docs, n=3, threshold=0.9).collect()}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r.containment == 1.0  # every shingle of the short doc is in the long one
+    assert r.n_shared == r.na
+    # jaccard would have missed this pair at its 0.5 threshold
+    jac = {(x.id_a, x.id_b) for x in dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    assert (1, 2) not in jac
+    # unrelated short doc does not reach the bar against doc 1
+    assert (1, 3) not in pairs
