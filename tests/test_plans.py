@@ -301,3 +301,33 @@ def test_runtime_bloom_filter_prunes_fact_fact_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_feature_hashing_single_exchange(q):
+    # md5 feature/sign are map-side; only the (doc, feat) agg shuffles
+    assert count_exchanges(q("text_feature_hashing")) == 1
+
+
+def test_bm25_stats_row_is_only_wide_exchange(q):
+    # corpus stats collapse to ONE single-partition agg; the cut is a
+    # bounded heap, so no other exchange may appear
+    plan = executed_plan(q("text_bm25_topk"))
+    assert "TakeOrderedAndProject" in plan
+    assert count_exchanges(q("text_bm25_topk")) <= 2  # stats agg + rank of k rows
+
+
+def test_bloom_prune_filters_before_the_join(q):
+    # the bitmap bit-test Filter must sit BELOW the join: pruned fact
+    # rows never reach the probe side
+    plan = executed_plan(q("join_bloom_pruned"))
+    join_at = plan.index("BroadcastHashJoin")
+    bit_test_at = plan.rindex("shiftright")
+    assert bit_test_at > join_at  # executed plans print top-down: deeper = later
+
+
+def test_point_in_time_single_exchange(q):
+    # union + one window per key: exactly one hash exchange
+    import re
+
+    plan = executed_plan(q("scd2_point_in_time"))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
