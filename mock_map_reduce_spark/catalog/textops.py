@@ -561,3 +561,60 @@ def q_text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "word", "tfidf", "rnk")
     )
+
+
+@query(
+    "udtf_text_chunks",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) <= 64 THEN 1
+              ELSE CAST(ceil((len(w) - 64) / 48.0) AS BIGINT) + 1 END AS nc
+  FROM t
+),
+x AS (SELECT doc_id, unnest(range(0, nc)) AS chunk_idx, w FROM c)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(len(list_slice(w, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) AS INT) AS n_tokens
+FROM x
+""",
+)
+def q_udtf_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME chunk law as text_chunks, computed by a Python UDTF
+    (Spark 3.5+ lateral table function) instead of codegen'd array
+    expressions — the user-defined TABLE function surface, in the hard
+    oracle gate rather than pytest only.
+
+    The codegen form (text_chunks) remains the production path; a
+    row-level Python UDTF is the slow lane, shown here because custom
+    generators (parsers, samplers, tokenizers) are what the surface is
+    FOR. Sharing text_chunks' oracle proves the two implementations
+    agree chunk-for-chunk.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int")
+    class Chunker:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").split() if t]
+            if not toks:
+                yield 0, 0
+                return
+            i = idx = 0
+            while i < len(toks):
+                yield idx, len(toks[i : i + 64])
+                if i + 64 >= len(toks):
+                    break
+                i += 48
+                idx += 1
+
+    spark.udtf.register("mmr_chunker", Chunker)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("mmr_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, c.chunk_idx, c.n_tokens "
+        "FROM mmr_udtf_docs, LATERAL mmr_chunker(text) AS c"
+    )
