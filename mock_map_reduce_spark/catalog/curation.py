@@ -311,3 +311,122 @@ def q_curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus never shuffles."""
     docs = load_table(spark, sf_dir, "documents")
     return cu.weighted_sample(docs, 20)
+
+
+_DECONTAM_OVERLAP = 0.2  # drop corpus docs with >= 20% eval-set 4-gram overlap
+
+
+_PRETRAIN_ORACLE = r"""
+WITH surv AS (
+  SELECT doc_id, lang, source, text FROM documents
+  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+),
+corpus AS (SELECT * FROM surv WHERE doc_id >= {BENCH}),
+{QUALITY},
+{GRAMS_C},
+bench AS (SELECT DISTINCT gram FROM grams_c WHERE doc_id < {BENCH}),
+corpg AS (SELECT g.doc_id, g.gram FROM grams_c g JOIN corpus c USING (doc_id)),
+gsizes AS (SELECT doc_id, count(*) AS n_grams FROM corpg GROUP BY doc_id),
+shared AS (SELECT c.doc_id, count(*) AS ns FROM corpg c JOIN bench USING (gram) GROUP BY c.doc_id),
+contam AS (
+  SELECT s.doc_id FROM shared s JOIN gsizes USING (doc_id)
+  WHERE CAST(ns AS DOUBLE) / n_grams >= {OVERLAP}
+),
+clean AS (SELECT * FROM corpus ANTI JOIN contam USING (doc_id)),
+q AS (
+  SELECT doc_id,
+         round(least(mean_word_len / 8.0, 1.0) * 0.25
+               + least(stop_ratio * 4.0, 1.0) * 0.25
+               + alpha_ratio * 0.25
+               + distinct_ratio * 0.25, 6) AS quality_score
+  FROM ratios
+),
+j AS (SELECT c.doc_id, c.lang, c.text, q.quality_score FROM clean c JOIN q USING (doc_id)),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality_score, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM j
+),
+t AS (SELECT lang, quality_score AS thr FROM r WHERE rn = ((n - 1) * 25) // 100 + 1),
+floored AS (
+  SELECT j.* FROM j JOIN t USING (lang) WHERE j.quality_score >= t.thr
+),
+pk AS (
+  SELECT doc_id, lang,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_toks
+  FROM floored
+),
+binned AS (
+  SELECT doc_id, lang, shard, n_toks,
+         CAST((sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_toks) // 1024 AS BIGINT) AS bin_id
+  FROM pk
+)
+SELECT lang, shard, count(*) AS n_docs,
+       CAST(count(DISTINCT bin_id) AS BIGINT) AS n_bins,
+       CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+       round(CAST(SUM(n_toks) AS DOUBLE) / (count(DISTINCT bin_id) * 1024.0), 6) AS fill_ratio
+FROM binned GROUP BY lang, shard
+"""
+
+
+def _pretrain_oracle() -> str:
+    from mock_map_reduce_spark.catalog.dedup import _GRAMS_C, BENCH_MAX_ID
+
+    return (
+        _PRETRAIN_ORACLE.replace("{BENCH}", str(BENCH_MAX_ID))
+        .replace("{QUALITY}", _QUALITY_CTES.lstrip())
+        .replace("{GRAMS_C}", _GRAMS_C.strip())
+        .replace("{OVERLAP}", str(_DECONTAM_OVERLAP))
+    )
+
+
+@query("pipeline_pretraining_end_to_end", oracle=_pretrain_oracle())
+def q_pipeline_pretraining_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-data build, composed from the catalog's own
+    operators and oracle-checked AS ONE CHAIN: exact dedup -> eval-set
+    decontamination (>= 20% 4-gram overlap drops the doc) -> per-lang
+    p25 quality floor -> greedy 1024-token sequence packing -> per
+    (lang, shard) data-card rollup with bin fill ratios.
+
+    Every stage is individually oracle-checked elsewhere
+    (dedup_exact_survivors, dedup_contamination, curation_quality_floor,
+    curation_pack_sequences); this entry proves they COMPOSE — schemas,
+    determinism contracts, and filters interoperating in one plan, the
+    way the pipeline actually ships. Scale: each stage keeps its own
+    plan shape (digest groupBy; broadcast benchmark grams; per-lang
+    threshold broadcast; per-shard packing windows) — nothing in the
+    composition adds a corpus-wide sort or unbounded join.
+    """
+    from mock_map_reduce_spark.catalog.dedup import BENCH_MAX_ID, CONTAM_NGRAM
+    from mock_map_reduce_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    surv_ids = dd.exact_dedup(docs).select("doc_id")
+    corpus = docs.join(surv_ids, "doc_id").filter(F.col("doc_id") >= BENCH_MAX_ID)
+    bench = docs.filter(F.col("doc_id") < BENCH_MAX_ID)
+    contam = (
+        dd.benchmark_contamination(corpus, bench, n=CONTAM_NGRAM)
+        .filter(F.col("overlap_ratio") >= _DECONTAM_OVERLAP)
+        .select("doc_id")
+    )
+    clean = corpus.join(contam, "doc_id", "left_anti")
+    scored = clean.join(
+        tx.quality_score(docs).select("doc_id", "quality_score"), "doc_id"
+    )
+    floored = cu.per_group_quantile_floor(scored, "lang", "quality_score", 25, 100)
+    packed = cu.pack_sequences(floored.select("doc_id", "text"), budget=1024)
+    j = packed.join(floored.select("doc_id", "lang"), "doc_id")
+    agg = j.groupBy("lang", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.sum("n_toks").cast("long").alias("sum_toks"),
+    )
+    return agg.withColumn(
+        "fill_ratio",
+        F.round(
+            F.col("sum_toks").cast("double") / (F.col("n_bins") * 1024.0), 6
+        ),
+    )

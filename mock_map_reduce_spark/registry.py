@@ -122,8 +122,11 @@ PRIORITY: list[str] = [
     "json_agg",
 ]
 # Queries added later in round 5 (lifecycle, graph, experimentation,
-# streaming twins, pysource, recursive CTE, keywords/outliers, ...)
-# intentionally register BEHIND this list: every PRIORITY name is still
+# streaming twins, pysource, recursive CTE, keywords/outliers, and the
+# closing-session batch: retrieval/BM25/feature-hashing, bloom join
+# pruning, point-in-time lookup, CMS sketch, variant rollup, basket
+# lift, containment dedup, UDTF chunks, applyInArrow) intentionally
+# register BEHIND this list: every PRIORITY name is still
 # driver-unconfirmed, and the sample is ~50. The next rotation should
 # front-load whatever tools/confirmation_status.py --suggest reports.
 
