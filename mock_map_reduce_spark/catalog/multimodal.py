@@ -40,9 +40,41 @@ def q_multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_byte_features")  # Pandas-UDF path -> rows-only; pytest pins values
+@query(
+    "multimodal_byte_features",
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) + 1),
+                               i -> ord(substring(text, i, 1)))) AS v
+  FROM documents
+),
+per AS (SELECT doc_id, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS sq FROM b GROUP BY doc_id),
+cnts AS (SELECT doc_id, v, COUNT(*) AS c FROM b GROUP BY doc_id, v),
+ent AS (SELECT doc_id, SUM(c * log2(c)) AS t FROM cnts GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n, 0) AS BIGINT) AS n_bytes,
+       COALESCE(round(CAST(p.s AS DOUBLE) / p.n, 6), 0.0) AS mean_byte,
+       COALESCE(round(sqrt(CAST(p.sq AS DOUBLE) / p.n
+                           - (CAST(p.s AS DOUBLE) / p.n) * (CAST(p.s AS DOUBLE) / p.n)), 6),
+                0.0) AS std_byte,
+       COALESCE(round(log2(p.n) - e.t / p.n, 6), 0.0) AS entropy_proxy
+FROM documents d
+LEFT JOIN per p USING (doc_id)
+LEFT JOIN ent e USING (doc_id)
+""",
+)
 def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction (stub decoder) via mapInPandas."""
+    """Arrow-batched byte-feature extraction via mapInPandas — NOW
+    oracle-checked (formerly the registry's one rows-only entry).
+
+    The payload is the doc's UTF-8 bytes and the corpus is pure ASCII,
+    so DuckDB re-derives every byte as a code point and states the
+    identical closed forms the UDF computes from exact integer sums:
+    mean = s/n, std = sqrt(sq/n - (s/n)^2) — order-proof — and the
+    histogram entropy via the log2(n) - sum(c*log2 c)/n identity (the
+    text_entropy_by_source convention; both engines round to 6).
+    """
     docs = load_table(spark, sf_dir, "documents")
     return mm.byte_features(mm.attach_binary_payload(docs))
 

@@ -524,7 +524,13 @@ def byte_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         import numpy as np
+
+        def r6(x: float) -> float:
+            # round-half-away for non-negative x — matches SQL round()
+            return math.floor(x * 1e6 + 0.5) / 1e6
 
         for pdf in batches:
             rows = []
@@ -534,16 +540,23 @@ def byte_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 if n == 0:
                     rows.append((int(doc_id), 0, 0.0, 0.0, 0.0))
                     continue
-                counts = np.bincount(arr, minlength=256).astype(np.float64)
-                p = counts[counts > 0] / n
-                # entropy proxy: Shannon entropy over the byte histogram
+                # EXACT integer sums -> the float expressions below are
+                # order-proof and mirror the DuckDB oracle tree exactly
+                # (catalog/multimodal.py): mean = s/n,
+                # std = sqrt(sq/n - (s/n)^2),
+                # entropy = log2(n) - sum(c*log2 c)/n.
+                s = int(arr.sum(dtype=np.int64))
+                sq = int((arr.astype(np.int64) ** 2).sum())
+                r = s / n
+                counts = np.bincount(arr)
+                t = sum(int(c) * math.log2(int(c)) for c in counts if c)
                 rows.append(
                     (
                         int(doc_id),
                         n,
-                        float(np.round(arr.mean(), 6)),
-                        float(np.round(arr.std(), 6)),
-                        float(np.round(-(p * np.log2(p)).sum(), 6)),
+                        r6(s / n),
+                        r6(math.sqrt(sq / n - r * r)),
+                        r6(math.log2(n) - t / n),
                     )
                 )
             yield pd.DataFrame(
