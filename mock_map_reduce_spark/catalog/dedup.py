@@ -163,6 +163,81 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_minhash_jaccard_estimate",
+    oracle=f"""
+WITH {_TOKS},
+{_GRAMS},
+{_SIGS},
+{_BANDS},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+m AS (
+  SELECT c.id_a, c.id_b,
+         (CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END) + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END) + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) + (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END) + (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) + (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END) + (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) + (CASE WHEN sa.h8 = sb.h8 THEN 1 ELSE 0 END) + (CASE WHEN sa.h9 = sb.h9 THEN 1 ELSE 0 END) + (CASE WHEN sa.h10 = sb.h10 THEN 1 ELSE 0 END) + (CASE WHEN sa.h11 = sb.h11 THEN 1 ELSE 0 END) + (CASE WHEN sa.h12 = sb.h12 THEN 1 ELSE 0 END) + (CASE WHEN sa.h13 = sb.h13 THEN 1 ELSE 0 END) + (CASE WHEN sa.h14 = sb.h14 THEN 1 ELSE 0 END) + (CASE WHEN sa.h15 = sb.h15 THEN 1 ELSE 0 END) AS n_match
+  FROM cand c JOIN sigs sa ON c.id_a = sa.doc_id JOIN sigs sb ON c.id_b = sb.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT m.id_a, m.id_b, CAST(m.n_match AS BIGINT) AS n_match,
+       CAST(m.n_match AS DOUBLE) / 16 AS est_jaccard,
+       CAST(COALESCE(s.ns, 0) AS DOUBLE) / (za.ng + zb.ng - COALESCE(s.ns, 0)) AS jaccard
+FROM m
+LEFT JOIN shared s ON m.id_a = s.id_a AND m.id_b = s.id_b
+JOIN sizes za ON m.id_a = za.doc_id
+JOIN sizes zb ON m.id_b = zb.doc_id
+""",
+)
+def q_dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash THEOREM made checkable: for every LSH candidate
+    pair, the signature agreement fraction (n_match/16) next to the
+    exact n-gram Jaccard — estimator and estimand both engine-exact
+    (md5 signatures and integer set counts), so the whole statement
+    hash-matches bit-for-bit rather than through a tolerance band.
+    test_dedup asserts the estimator's accuracy on planted pairs; this
+    entry puts the comparison itself in the hard gate. Plan: the
+    signature agg and the gram posting machinery are the same
+    exchanges the LSH and Jaccard queries already take; candidates
+    bound the pair fan-out.
+    """
+    sigs = dd.minhash_signatures(
+        load_table(spark, sf_dir, "documents"), NUM_HASHES, NGRAM, use_md5=True
+    )
+    cand = dd.lsh_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), NUM_HASHES, BANDS, NGRAM, use_md5=True
+    )
+    jac = dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), NGRAM, threshold=0.0
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(16)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(16)]
+    )
+    n_match = None
+    for i in range(16):
+        term = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        n_match = term if n_match is None else n_match + term
+    m = cand.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", n_match.cast("long").alias("n_match")
+    )
+    return m.join(jac, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        "n_match",
+        (F.col("n_match").cast("double") / F.lit(16)).alias("est_jaccard"),
+        F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+    )
+
+
 CONTAINMENT_THRESHOLD = 0.8
 
 
