@@ -512,3 +512,70 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     status = events.filter(F.col("event_type").isin("signup", "error"))
     purchases = events.filter(F.col("event_type") == "purchase")
     return ts.point_in_time_state(status, purchases)
+
+
+@query(
+    "files_manifest_orders",
+    oracle="""
+SELECT 'orders.parquet' AS file_name,
+       COUNT(*) AS n_rows,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders
+""",
+)
+def q_files_manifest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map manifest build from the hidden ``_metadata`` column:
+    per source file, row count + key min/max — the data-skipping
+    statistics a table format (or a poor man's manifest) maintains so
+    point/range reads prune files without opening them. At 100 TB this
+    runs per-partition after every compaction; with one test file the
+    manifest is one row, but the plan (metadata-column scan + groupBy
+    file) is the real one. The oracle states the manifest in closed
+    form (the testdata layout has exactly one known file per table),
+    so a wrong or missing _metadata read fails the hash.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(F.col("_metadata.file_name").alias("file_name"), "o_orderkey")
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+@query(
+    "serde_roundtrip_orders",
+    oracle="""
+SELECT o_orderkey, o_orderstatus AS csv_status, o_orderpriority AS xml_priority,
+       CAST(o_custkey AS BIGINT) AS json_custkey
+FROM orders WHERE o_orderkey % 97 = 0
+""",
+)
+def q_serde_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-serde round trips through THREE formats in one plan: each
+    order serializes to a CSV line, an XML snippet, and a JSON doc,
+    then re-parses with from_csv / from_xml / get_json_object. The
+    oracle is the identity on the pristine columns — any quoting,
+    escaping, schema-inference, or type-coercion defect in a parser
+    surfaces as a value mismatch. (The columnar sinks are exercised by
+    tests/test_sinks.py; this covers the row-level serde functions a
+    pipeline uses for message buses and log lines.)
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    staged = o.select(
+        "o_orderkey",
+        F.format_string("%d,%s", "o_orderkey", "o_orderstatus").alias("csv_line"),
+        F.format_string(
+            "<o><k>%d</k><p>%s</p></o>", "o_orderkey", "o_orderpriority"
+        ).alias("xml_doc"),
+        F.to_json(F.struct("o_custkey")).alias("json_doc"),
+    )
+    return staged.select(
+        "o_orderkey",
+        F.from_csv("csv_line", "k BIGINT, s STRING").getField("s").alias("csv_status"),
+        F.from_xml("xml_doc", "k BIGINT, p STRING").getField("p").alias("xml_priority"),
+        F.get_json_object("json_doc", "$.o_custkey").cast("long").alias("json_custkey"),
+    )
