@@ -891,3 +891,41 @@ def q_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_ab_d * F.col("n_orders")) / (F.col("n_a").cast("double") * F.col("n_b")), 6
         ).alias("lift"),
     )
+
+
+_PAGE_SIZE = 50
+_PAGE_AFTER = 200  # keyset cursor: last o_orderkey seen on the previous page
+
+
+@query(
+    "pagination_keyset_orders",
+    oracle=f"""
+SELECT o_orderkey, strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS order_day, o_totalprice
+FROM orders
+WHERE o_orderkey > {_PAGE_AFTER}
+ORDER BY o_orderkey
+LIMIT {_PAGE_SIZE}
+""",
+)
+def q_pagination_keyset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination: WHERE key > cursor ORDER BY key
+    LIMIT n — the page-N read that stays O(page) at any table size.
+
+    The contrast is OFFSET pagination, which scans and discards
+    offset+n rows per page (page 10^6 of a 100 TB table reads half the
+    table); the keyset predicate pushes to the parquet scan (row-group
+    min/max skip everything below the cursor) and the LIMIT is a
+    bounded TakeOrdered. The cursor value is the previous page's last
+    key, so pages are stable under concurrent appends too.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") > _PAGE_AFTER)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            "o_totalprice",
+        )
+        .orderBy("o_orderkey")
+        .limit(_PAGE_SIZE)
+    )

@@ -83,3 +83,24 @@ def test_pagerank_star_graph_center_dominates(spark, tmp_path):
     assert out[0].node == 100  # the hub wins
     assert all(out[0].rank > r.rank for r in out[1:])
     assert abs(sum(r.rank for r in out) - 1.0) < 1e-6  # probability mass preserved
+
+
+def test_pagination_keyset_pushes_cursor_to_scan(spark, sf_dir):
+    """Keyset pagination must (a) return exactly the page after the
+    cursor in key order, (b) push the cursor predicate into the
+    parquet scan (row-group min/max skipping is what keeps page N
+    O(page) on a 100 TB table), and (c) plan a bounded TakeOrdered,
+    never a global sort."""
+    from mock_map_reduce_spark import registry
+    from mock_map_reduce_spark.catalog.relational import _PAGE_AFTER, _PAGE_SIZE
+
+    registry.load_all()
+    df = registry.QUERIES["pagination_keyset_orders"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == _PAGE_SIZE
+    keys = [r.o_orderkey for r in rows]
+    assert keys == sorted(keys) and keys[0] > _PAGE_AFTER
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # bounded heap, not Sort+Limit
+    assert "GreaterThan(o_orderkey" in plan  # cursor reached PushedFilters
