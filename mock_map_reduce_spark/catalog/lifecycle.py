@@ -579,3 +579,64 @@ def q_serde_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_xml("xml_doc", "k BIGINT, p STRING").getField("p").alias("xml_priority"),
         F.get_json_object("json_doc", "$.o_custkey").cast("long").alias("json_custkey"),
     )
+
+
+@query(
+    "cdc_merge_orders",
+    oracle="""
+WITH changes AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 1.0 AS o_totalprice, 'U' AS op
+  FROM orders WHERE o_orderkey % 17 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D' AS op
+  FROM orders WHERE o_orderkey % 17 = 1
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, 'I' AS o_orderstatus, o_totalprice, 'I' AS op
+  FROM orders WHERE o_orderkey % 17 = 2
+),
+kept AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes WHERE op IN ('U', 'D'))
+)
+SELECT * FROM kept
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM changes WHERE op IN ('U', 'I')
+""",
+)
+def q_cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO: apply a deterministic CDC feed (updates for keys
+    %17==0, deletes for %17==1, inserts keyed +1e8 for %17==2) to the
+    orders snapshot via the copy-on-write ``merge_into`` operator.
+
+    The update's price bump is +1.0 — exact in binary doubles, so the
+    DuckDB twin cannot drift. Scale notes live on merge_into
+    (operators/relational.py): the base scan never shuffles; only the
+    feed's key column broadcasts into the anti join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    base = orders.select(*cols)
+    k = F.col("o_orderkey")
+    updates = (
+        orders.filter(k % 17 == 0)
+        .select(
+            k.alias("o_orderkey"),
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+            F.lit("U").alias("op"),
+        )
+    )
+    deletes = orders.filter(k % 17 == 1).select(*cols, F.lit("D").alias("op"))
+    inserts = (
+        orders.filter(k % 17 == 2)
+        .select(
+            (k + F.lit(100000000)).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("I").alias("o_orderstatus"),
+            "o_totalprice",
+            F.lit("I").alias("op"),
+        )
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    return rel.merge_into(base, changes, "o_orderkey")

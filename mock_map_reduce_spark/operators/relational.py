@@ -108,3 +108,34 @@ def snapshot_diff(
         .join(bn.alias("__b"), ka == kb, "full_outer")
         .select(F.coalesce(ka, kb).alias(key_col), status.alias("status"))
     )
+
+
+def merge_into(
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE INTO (CDC apply): reconcile a change feed against a base
+    snapshot — the Delta/Iceberg upsert shape the reference's
+    append-only sinks (slave.cc write path) cannot express.
+
+    ``changes`` carries ``op_col`` in {'U','I','D'}: matched updates
+    replace the base row, inserts add new keys, deletes drop them.
+    Last-writer-wins within the feed is the CALLER's contract (one
+    row per key per apply), matching how a compacted CDC topic
+    arrives.
+
+    Implemented as copy-on-write, not a full outer join: base rows
+    whose key appears in the feed leave via a LEFT ANTI join against
+    the touched-key set, then upserts (U + I payloads) union back in.
+    Scale: the anti join's build side is only the feed's KEY column —
+    broadcastable even when the feed payload is wide, so the 100 TB
+    base scan never shuffles; a full-outer formulation would force a
+    sort-merge of the whole base. (At real scale the anti join also
+    partition-prunes: only files containing touched keys rewrite.)
+    """
+    touched = changes.filter(F.col(op_col).isin("U", "D")).select(key_col).distinct()
+    kept = base.join(F.broadcast(touched), key_col, "left_anti")
+    upserts = changes.filter(F.col(op_col).isin("U", "I")).drop(op_col)
+    return kept.unionByName(upserts)

@@ -257,3 +257,25 @@ def test_capped_running_sum_hits_cap_and_floor(spark):
     out = ts.capped_running_sum(events, F.col("delta"), cap=1000.0)
     got = {r.event_id: r.balance for r in out.collect()}
     assert got == {1: 600.0, 2: 1000.0, 3: 0.0, 4: 250.0}
+
+
+def test_merge_into_semantics_and_plan(spark):
+    """CDC apply on a hand frame: update replaces, delete drops,
+    insert adds; and the plan keeps the base un-shuffled — the
+    touched-key set must enter as a broadcast LEFT ANTI join."""
+    from pyspark.sql import Row
+
+    from mock_map_reduce_spark.operators.relational import merge_into
+
+    base = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    changes = spark.createDataFrame(
+        [Row(k=2, v="B", op="U"), Row(k=3, v=None, op="D"), Row(k=9, v="z", op="I")]
+    )
+    out = merge_into(base, changes, "k")
+    assert {(r.k, r.v) for r in out.collect()} == {(1, "a"), (2, "B"), (9, "z")}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan  # base never shuffles for the apply
