@@ -618,3 +618,56 @@ def q_udtf_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, c.chunk_idx, c.n_tokens "
         "FROM mmr_udtf_docs, LATERAL mmr_chunker(text) AS c"
     )
+
+
+_BPE_N_MERGES = 8
+
+
+def _bpe_oracle(n: int) -> str:
+    """Generate the n-iteration BPE trainer as chained MATERIALIZED
+    CTEs (one pair-count + argmax + rewrite round per iteration).
+    MATERIALIZED is load-bearing: each seq CTE is referenced by both
+    the next round's pair count and its rewrite, and each b CTE five
+    times — inlined, the plan (and the parquet open count) grows
+    ~5^n."""
+    parts = [
+        """WITH words AS (
+  SELECT lower(unnest(string_split_regex(text, '[^A-Za-z]+'))) AS word FROM documents
+),
+wf AS MATERIALIZED (SELECT word, COUNT(*) AS freq FROM words WHERE word <> '' GROUP BY 1),
+seq0 AS MATERIALIZED (SELECT freq, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq FROM wf)"""
+    ]
+    for i in range(1, n + 1):
+        parts.append(
+            f"""p{i} AS (
+  SELECT t.l[CAST(u.i AS INT)] || ' ' || t.l[CAST(u.i AS INT) + 1] AS pair, SUM(t.freq) AS c
+  FROM (SELECT freq, string_split(seq, ' ') AS l FROM seq{i - 1}) t,
+       UNNEST(range(1, len(t.l))) AS u(i)
+  GROUP BY 1
+),
+b{i} AS MATERIALIZED (SELECT pair, CAST(c AS BIGINT) AS c FROM p{i} ORDER BY c DESC, pair ASC LIMIT 1),
+seq{i} AS MATERIALIZED (
+  SELECT freq, trim(replace(replace(' ' || seq || ' ',
+      ' ' || (SELECT pair FROM b{i}) || ' ',
+      ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' '),
+      ' ' || (SELECT pair FROM b{i}) || ' ',
+      ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' ')) AS seq
+  FROM seq{i - 1}
+)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, pair, replace(pair, ' ', '') AS token, c FROM b{i}"
+        for i in range(1, n + 1)
+    )
+    return ",\n".join(parts) + "\n" + finals
+
+
+@query("text_bpe_train_merges", oracle=_bpe_oracle(_BPE_N_MERGES))
+def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full iterative BPE trainer (operators/text.bpe_train): 8
+    merge rounds over the lowercased corpus vocabulary, oracle-matched
+    round-for-round against a DuckDB chained-CTE replica — pair
+    counts, argmax tie-breaks, AND the greedy rewrite must all agree
+    for the hash to match, because every round feeds the next."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bpe_train(docs, n_merges=_BPE_N_MERGES)

@@ -517,3 +517,87 @@ def bpe_pair_counts(
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(top_k)
     )
+
+
+def bpe_train(
+    docs_in: DataFrame, n_merges: int, text_col: str = "text"
+) -> DataFrame:
+    """Train ``n_merges`` byte-pair-encoding merges over the corpus and
+    return the learned merge table (merge_rank, pair, token, c) — the
+    full iterative trainer whose single round is ``bpe_pair_counts``.
+
+    Algorithm (Sennrich et al. 2016, the public BPE formulation):
+    symbols start as characters; each round counts adjacent symbol
+    pairs weighted by word frequency, merges the most frequent pair
+    (ties: count DESC, pair ASC — deterministic across engines and
+    retries), rewrites the sequences, repeats. Pair application is
+    canonical greedy left-to-right non-overlapping merging, realized
+    as TWO passes of space-padded ``replace``: pass one consumes the
+    separating space of an immediately-following occurrence, pass two
+    picks those up; no new occurrence of the same pair can be created
+    by a replacement (merged tokens contain no space), so two passes
+    are exact.
+
+    Scale shape: ONE corpus-scale shuffle total — the word-frequency
+    groupBy (map-side combined). Every iteration after that runs on
+    the distinct-word vocabulary (≪ corpus, frequency-weighted), so
+    training cost is independent of corpus size past the first pass;
+    per round: one codegen'd pair explode + partial-agg'd count, a
+    1-row TakeOrdered collect (the driver-side merge decision, same
+    scalar pattern as k-means convergence), and a column rewrite.
+    localCheckpoint pins each round's vocabulary so lineage doesn't
+    grow with n_merges.
+    """
+    spark = docs_in.sparkSession
+    wf = (
+        spread(docs_in.select(text_col))
+        .select(F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    seqs = wf.select(
+        "freq",
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
+    ).localCheckpoint()
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        arr = F.split("seq", " ")
+        pairs = seqs.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(slice(split(seq, ' '), 1, size(split(seq, ' ')) - 1),"
+                    " (x, i) -> concat(x, ' ', split(seq, ' ')[i + 1]))"
+                )
+            ).alias("pair"),
+        )
+        _ = arr  # arr inlined in the expr above; kept for readability
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, c = top[0].pair, int(top[0].c)
+        token = pair.replace(" ", "")
+        merges.append((rank, pair, token, c))
+        padded_pair, padded_token = f" {pair} ", f" {token} "
+        applied = F.replace(
+            F.replace(
+                F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                F.lit(padded_pair),
+                F.lit(padded_token),
+            ),
+            F.lit(padded_pair),
+            F.lit(padded_token),
+        )
+        seqs = seqs.select("freq", F.trim(applied).alias("seq")).localCheckpoint()
+
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, token string, c bigint"
+    )

@@ -234,3 +234,57 @@ def test_entropy_uniform_distribution_is_ln_n(spark):
     r = out[0]
     assert (r.n_tokens, r.n_distinct) == (4, 4)
     assert abs(r.entropy_nats - math.log(4)) < 1e-6
+
+
+def test_bpe_train_matches_canonical_reference(spark):
+    """The iterative trainer vs a pure-Python canonical BPE (Sennrich
+    et al.: count pairs weighted by word freq, merge the argmax
+    greedily left-to-right non-overlapping, repeat). The corpus
+    plants 'aaaa'/'aaa' so consecutive overlapping occurrences — the
+    case where a single naive string replace under-merges — decide
+    the learned merges."""
+    corpus = [
+        "aaaa aaaa aaa banana banana bandana",
+        "aaaa banana bananas abracadabra",
+    ]
+
+    def canonical_bpe(texts, n_merges):
+        import re
+        from collections import Counter
+
+        wf = Counter(
+            w for t in texts for w in re.split(r"[^a-z]+", t.lower()) if w
+        )
+        seqs = {w: tuple(w) for w in wf}
+        merges = []
+        for rank in range(1, n_merges + 1):
+            pc = Counter()
+            for w, s in seqs.items():
+                for a, b in zip(s, s[1:]):
+                    pc[(a, b)] += wf[w]
+            if not pc:
+                break
+            (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank, f"{a} {b}", a + b, c))
+            out = {}
+            for w, s in seqs.items():
+                r, i = [], 0
+                while i < len(s):  # greedy left-to-right, non-overlapping
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        r.append(a + b)
+                        i += 2
+                    else:
+                        r.append(s[i])
+                        i += 1
+                out[w] = tuple(r)
+            seqs = out
+        return merges
+
+    docs = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(corpus)])
+    got = [
+        (r.merge_rank, r.pair, r.token, r.c)
+        for r in tx.bpe_train(docs, n_merges=6).orderBy("merge_rank").collect()
+    ]
+    assert got == canonical_bpe(corpus, 6)
+    # sanity: the planted run actually exercised consecutive merging
+    assert any(t == "aa" for _, _, t, _ in got)
