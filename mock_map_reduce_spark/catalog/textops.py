@@ -623,19 +623,21 @@ def q_udtf_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_N_MERGES = 8
 
 
-def _bpe_oracle(n: int) -> str:
+def _bpe_cte_chain(n: int) -> str:
     """Generate the n-iteration BPE trainer as chained MATERIALIZED
-    CTEs (one pair-count + argmax + rewrite round per iteration).
-    MATERIALIZED is load-bearing: each seq CTE is referenced by both
-    the next round's pair count and its rewrite, and each b CTE five
-    times — inlined, the plan (and the parquet open count) grows
-    ~5^n."""
+    CTEs (one pair-count + argmax + rewrite round per iteration);
+    returns the WITH body ending at seq{n}/b{n} so callers append
+    their own final SELECT (trainer: the merges; apply: the segmented
+    vocabulary). MATERIALIZED is load-bearing: each seq CTE is
+    referenced by both the next round's pair count and its rewrite,
+    and each b CTE five times — inlined, the plan (and the parquet
+    open count) grows ~5^n."""
     parts = [
         """WITH words AS (
   SELECT lower(unnest(string_split_regex(text, '[^A-Za-z]+'))) AS word FROM documents
 ),
 wf AS MATERIALIZED (SELECT word, COUNT(*) AS freq FROM words WHERE word <> '' GROUP BY 1),
-seq0 AS MATERIALIZED (SELECT freq, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq FROM wf)"""
+seq0 AS MATERIALIZED (SELECT word, freq, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq FROM wf)"""
     ]
     for i in range(1, n + 1):
         parts.append(
@@ -647,7 +649,7 @@ seq0 AS MATERIALIZED (SELECT freq, trim(regexp_replace(word, '(.)', '\\1 ', 'g')
 ),
 b{i} AS MATERIALIZED (SELECT pair, CAST(c AS BIGINT) AS c FROM p{i} ORDER BY c DESC, pair ASC LIMIT 1),
 seq{i} AS MATERIALIZED (
-  SELECT freq, trim(replace(replace(' ' || seq || ' ',
+  SELECT word, freq, trim(replace(replace(' ' || seq || ' ',
       ' ' || (SELECT pair FROM b{i}) || ' ',
       ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' '),
       ' ' || (SELECT pair FROM b{i}) || ' ',
@@ -655,11 +657,33 @@ seq{i} AS MATERIALIZED (
   FROM seq{i - 1}
 )"""
         )
+    return ",\n".join(parts)
+
+
+def _bpe_oracle(n: int) -> str:
     finals = "\nUNION ALL\n".join(
         f"SELECT {i} AS merge_rank, pair, replace(pair, ' ', '') AS token, c FROM b{i}"
         for i in range(1, n + 1)
     )
-    return ",\n".join(parts) + "\n" + finals
+    return _bpe_cte_chain(n) + "\n" + finals
+
+
+def _bpe_apply_oracle(n: int) -> str:
+    return (
+        _bpe_cte_chain(n)
+        + f""",
+vocab AS (SELECT word, len(string_split(seq, ' ')) AS n_toks FROM seq{n}),
+wd AS (
+  SELECT doc_id, lower(unnest(string_split_regex(text, '[^A-Za-z]+'))) AS word FROM documents
+),
+dwc AS (SELECT doc_id, word, COUNT(*) AS c FROM wd WHERE word <> '' GROUP BY 1, 2)
+SELECT d.doc_id,
+       CAST(SUM(d.c) AS BIGINT) AS n_words,
+       CAST(SUM(d.c * length(v.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(d.c * v.n_toks) AS BIGINT) AS n_bpe_tokens
+FROM dwc d JOIN vocab v USING (word)
+GROUP BY 1"""
+    )
 
 
 @query("text_bpe_train_merges", oracle=_bpe_oracle(_BPE_N_MERGES))
@@ -671,3 +695,43 @@ def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the hash to match, because every round feeds the next."""
     docs = load_table(spark, sf_dir, "documents")
     return tx.bpe_train(docs, n_merges=_BPE_N_MERGES)
+
+@query("text_bpe_tokenize", oracle=_bpe_apply_oracle(_BPE_N_MERGES))
+def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: train 8 BPE merges, segment the vocabulary
+    with them (operators/text.bpe_segment_vocab), and account tokens
+    per document — (doc_id, n_words, n_chars, n_bpe_tokens), the
+    token-budget accounting every pretraining mix is planned with.
+
+    Scale: merges rewrite only DISTINCT words; corpus-scale work is
+    one (doc_id, word) count shuffle plus a vocabulary join (Catalyst
+    broadcasts it at this SF; at 100 TB a million-word vocabulary is
+    ~tens of MB — still broadcastable). The n_chars sum counts only
+    [a-z] word characters, mirrored exactly in the oracle's
+    length(word)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        r.pair
+        for r in tx.bpe_train(docs, n_merges=_BPE_N_MERGES)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    vocab = tx.bpe_segment_vocab(docs, merges)
+    dwc = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        dwc.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.length("word")).cast("long").alias("n_chars"),
+            F.sum(F.col("c") * F.col("n_toks")).cast("long").alias("n_bpe_tokens"),
+        )
+    )

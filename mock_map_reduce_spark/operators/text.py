@@ -601,3 +601,36 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "merge_rank int, pair string, token string, c bigint"
     )
+
+
+def bpe_segment_vocab(
+    docs_in: DataFrame, merge_pairs: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Segment the corpus VOCABULARY with an ordered list of learned
+    BPE merges: (word, n_toks) where n_toks is the word's token count
+    under the merges. Application is the same exact two-pass greedy
+    replace as training (see bpe_train).
+
+    Scale shape: merges apply to DISTINCT words, not the corpus — the
+    whole rewrite chain is one shuffle (the distinct) plus pure
+    column expressions; callers then join token counts back to
+    corpus-scale word counts (vocabulary ≪ corpus, usually a
+    broadcast). This is how a tokenizer pass over 100 TB stays one
+    scan: segmentation cost is O(vocab), accounting is a join.
+    """
+    seqs = (
+        spread(docs_in.select(text_col))
+        .select(F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+        .select("word", F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"))
+    )
+    expr = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
+    for pair in merge_pairs:
+        padded_pair = F.lit(f" {pair} ")
+        padded_token = F.lit(f" {pair.replace(' ', '')} ")
+        expr = F.replace(F.replace(expr, padded_pair, padded_token), padded_pair, padded_token)
+        expr = F.concat(F.lit(" "), F.trim(expr), F.lit(" "))
+    return seqs.select(
+        "word", F.size(F.split(F.trim(expr), " ")).alias("n_toks")
+    )

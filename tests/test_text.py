@@ -288,3 +288,18 @@ def test_bpe_train_matches_canonical_reference(spark):
     assert got == canonical_bpe(corpus, 6)
     # sanity: the planted run actually exercised consecutive merging
     assert any(t == "aa" for _, _, t, _ in got)
+
+
+def test_bpe_segment_vocab_counts(spark):
+    """Applying ordered merges segments the vocabulary exactly like the
+    trainer's rewrite: 'banana' under merges ('a n' -> 'an', 'an a' ->
+    'ana') becomes b|ana|n|a? No — greedy l-to-r: 'b an an a', then
+    'ana' merges need 'an a' adjacency: 'b an an a' -> 'b an ana'."""
+    docs = spark.createDataFrame([Row(doc_id=1, text="banana bans")])
+    out = {
+        r.word: r.n_toks
+        for r in tx.bpe_segment_vocab(docs, ["a n", "an a"]).collect()
+    }
+    # banana: b a n a n a -> b an an a -> b an ana  (3 tokens)
+    # bans:   b a n s -> b an s  (3 tokens)
+    assert out == {"banana": 3, "bans": 3}
