@@ -330,3 +330,156 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") >= F.coalesce(F.col("cnt"), F.lit(0))).alias("is_overestimate"),
     )
+
+
+@query(
+    "analyze_orders_profile",
+    oracle="""
+WITH base AS (
+  SELECT COUNT(*) AS n FROM orders
+),
+cols AS (
+  SELECT 'o_orderkey' AS col, COUNT(o_orderkey) AS n_nonnull,
+         COUNT(DISTINCT o_orderkey) AS n_distinct,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS min_val, CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+         CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+         MIN(o_orderstatus), MAX(o_orderstatus)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+         MIN(o_orderpriority), MAX(o_orderpriority)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', COUNT(o_orderdate), COUNT(DISTINCT o_orderdate),
+         strftime(CAST(MIN(o_orderdate) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'),
+         strftime(CAST(MAX(o_orderdate) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+  FROM orders
+)
+SELECT col, CAST(b.n AS BIGINT) AS n_rows,
+       CAST(b.n - n_nonnull AS BIGINT) AS n_null,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       min_val, max_val
+FROM cols CROSS JOIN base b
+""",
+)
+def q_analyze_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile: one row per column with row/null/
+    NDV counts and min/max rendered as strings — the optimizer-stats
+    collection every warehouse runs after a load (Spark's own
+    `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` shape).
+
+    All five columns profile in ONE aggregate over one scan; Catalyst
+    expands the multi-count-distinct into the standard EXPAND plan
+    (rows × #distinct-aggs before partial aggregation). Exact NDV is
+    the point at this profile's cadence; a 100 TB hourly profile would
+    swap count_distinct for approx_count_distinct (the engine's HLL
+    surface — see approx_distinct/approx_distinct_merged) without
+    changing the query shape.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    # min/max aggregate on the NATIVE type (a string-rendered min would
+    # compare lexicographically: "9999" > "14999"); rendering to the
+    # profile's uniform string column happens on the aggregated scalar.
+    ts_render = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    str_render = lambda c: c.cast("string")  # noqa: E731
+    specs = [
+        ("o_orderkey", str_render),
+        ("o_custkey", str_render),
+        ("o_orderstatus", str_render),
+        ("o_orderpriority", str_render),
+        ("o_orderdate", ts_render),
+    ]
+    aggs = [n.alias("n_rows")]
+    for name, render in specs:
+        c = F.col(name)
+        aggs += [
+            (n - F.count(c)).alias(f"{name}__nulls"),
+            F.countDistinct(c).alias(f"{name}__ndv"),
+            render(F.min(c)).alias(f"{name}__min"),
+            render(F.max(c)).alias(f"{name}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', {name}__nulls, {name}__ndv, {name}__min, {name}__max"
+        for name, _ in specs
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(specs)}, {stack}) AS (col, n_null, n_distinct, min_val, max_val)"
+        ),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    ).select(
+        "col",
+        "n_rows",
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_val",
+        "max_val",
+    )
+
+
+@query(
+    "diag_join_key_skew",
+    oracle="""
+WITH kc AS (
+  SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(c) AS BIGINT) AS max_per_key
+  FROM kc
+),
+h AS (
+  SELECT user_id AS heaviest_key FROM kc ORDER BY c DESC, user_id ASC LIMIT 1
+)
+SELECT n_rows, n_keys, max_per_key,
+       ROUND(CAST(n_rows AS DOUBLE) / n_keys, 6) AS avg_per_key,
+       ROUND(CAST(max_per_key AS DOUBLE) * n_keys / n_rows, 6) AS skew_ratio,
+       heaviest_key
+FROM s CROSS JOIN h
+""",
+)
+def q_diag_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: the pre-flight diagnostic that decides
+    between a plain shuffle join, AQE skew splitting, and explicit
+    salting (operators/skew.py) for a prospective key. skew_ratio =
+    max_per_key / avg_per_key; ~1 means uniform, tens+ means the
+    hottest key serializes one reducer at 100 TB and the join wants
+    salt.
+
+    Two cheap aggregations (key counts, then a 5-number roll-up of
+    the counts) plus a 1-row TakeOrdered for the heaviest key — the
+    profile never materializes anything corpus-scale.
+    """
+    kc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = kc.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_per_key"),
+    )
+    h = (
+        kc.orderBy(F.col("c").desc(), F.col("user_id").asc())
+        .limit(1)
+        .select(F.col("user_id").alias("heaviest_key"))
+    )
+    return s.crossJoin(h).select(
+        "n_rows",
+        "n_keys",
+        "max_per_key",
+        F.round(F.col("n_rows").cast("double") / F.col("n_keys"), 6).alias("avg_per_key"),
+        F.round(
+            F.col("max_per_key").cast("double") * F.col("n_keys") / F.col("n_rows"), 6
+        ).alias("skew_ratio"),
+        "heaviest_key",
+    )

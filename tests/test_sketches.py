@@ -46,3 +46,27 @@ def test_variant_rollup_matches_from_json_path(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_diag_join_key_skew_flags_planted_hot_key(spark, tmp_path):
+    """One user with 60 of 70 events: skew_ratio must be max/avg =
+    60 / (70/11) = 9.43, and the hot key surfaces as heaviest_key."""
+    import os
+
+    from pyspark.sql import Row
+
+    from mock_map_reduce_spark import registry
+
+    registry.load_all()
+    rows = [Row(event_id=i, user_id=7, ts=None, event_type="c", value=1.0) for i in range(60)]
+    rows += [
+        Row(event_id=100 + u, user_id=100 + u, ts=None, event_type="c", value=1.0)
+        for u in range(10)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    ev.coalesce(1).write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = registry.QUERIES["diag_join_key_skew"](spark, str(tmp_path)).collect()[0]
+    assert (out.n_rows, out.n_keys, out.max_per_key, out.heaviest_key) == (70, 11, 60, 7)
+    assert abs(out.skew_ratio - 60 * 11 / 70) < 1e-6
