@@ -263,3 +263,38 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("drv_stream_ewma").select(
         "event_id", "user_id", F.round("ewma", 6).alias("ewma")
     )
+
+
+@query(
+    "streaming_cdc_upsert",
+    oracle=f"""
+WITH {_E},
+r AS (
+  SELECT user_id, t, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id, strftime(t, '{_FMT}') AS last_ts, event_id AS last_event_id, value
+FROM r WHERE rn = 1 AND event_type <> 'error'
+""",
+)
+def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (foreachBatch copy-on-write upsert with
+    tombstones, streaming/windows.cdc_upsert_stream_to_snapshot): the
+    maintained snapshot's live rows must equal the batch latest-
+    event-per-user state with 'error'-typed last events deleted —
+    i.e. the stream-maintained table IS the batch query's answer."""
+    import tempfile
+
+    from mock_map_reduce_spark.streaming import cdc_upsert_stream_to_snapshot
+
+    workdir = tempfile.mkdtemp(prefix="cdc_upsert_")
+    snap = cdc_upsert_stream_to_snapshot(
+        read_events_stream(spark, sf_dir), workdir=workdir
+    )
+    return snap.filter(F.col("op") != "D").select(
+        "user_id",
+        F.date_format("ts", TS_FMT).alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        "value",
+    )

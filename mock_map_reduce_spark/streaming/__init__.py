@@ -3,6 +3,7 @@ with watermarks). Batch twins live in operators/timeseries.py."""
 
 from mock_map_reduce_spark.streaming.windows import (
     read_events_stream,
+    cdc_upsert_stream_to_snapshot,
     dedup_stream,
     dedup_stream_bounded,
     interval_join_stream,
@@ -16,6 +17,7 @@ from mock_map_reduce_spark.streaming.windows import (
 
 __all__ = [
     "read_events_stream",
+    "cdc_upsert_stream_to_snapshot",
     "dedup_stream",
     "dedup_stream_bounded",
     "interval_join_stream",

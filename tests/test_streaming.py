@@ -292,3 +292,58 @@ def test_streaming_minute_partials_merge_exactly(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     direct = ts.rollup_two_level(events, group_cols=["event_type"])
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_cdc_upsert_out_of_order_batches(spark, tmp_path):
+    """Three single-file micro-batches arriving in ARBITRARY order must
+    produce the same snapshot as the batch answer: the version compare
+    (ts, event_id), not arrival order, decides the winner — including
+    a tombstone that must suppress an older update landing later."""
+    import os
+
+    from pyspark.sql import Row
+
+    from mock_map_reduce_spark.streaming import cdc_upsert_stream_to_snapshot
+
+    def ev(i, u, ts, et, v):
+        return Row(event_id=i, user_id=u, ts=ts, event_type=et, value=v)
+
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2026, 1, 1, 0, m)  # noqa: E731
+    batches = [
+        # file 1: user 1 old value; user 2 DELETED at minute 5
+        [ev(1, 1, t(1), "click", 10.0), ev(2, 2, t(5), "error", 0.0)],
+        # file 2: user 1 newer value; user 2 pre-delete update (older
+        # version than the tombstone -> must NOT resurrect)
+        [ev(3, 1, t(2), "view", 20.0), ev(4, 2, t(4), "click", 99.0)],
+        # file 3: user 3 appears
+        [ev(5, 3, t(3), "purchase", 7.0)],
+    ]
+    src = os.path.join(str(tmp_path), "stream_src")
+    os.makedirs(src)
+    schema = (
+        "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    # each batch must be a plain FILE directly under src (the file
+    # stream source does not recurse into per-write subdirectories)
+    import glob as _glob
+    import shutil
+
+    for i, rows in enumerate(batches):
+        d = os.path.join(str(tmp_path), f"w{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        part = _glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"f{i}.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    snap = cdc_upsert_stream_to_snapshot(
+        stream, workdir=os.path.join(str(tmp_path), "work")
+    )
+    live = {(r.user_id, r.event_id, r.value) for r in snap.filter("op != 'D'").collect()}
+    assert live == {(1, 3, 20.0), (3, 5, 7.0)}  # user 2 stays deleted
+    dead = {r.user_id for r in snap.filter("op = 'D'").collect()}
+    assert dead == {2}  # tombstone retained, not resurrected by event 4
