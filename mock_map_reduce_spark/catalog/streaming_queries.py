@@ -298,3 +298,43 @@ def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         "value",
     )
+
+
+@query(
+    "streaming_static_enrich",
+    oracle=f"""
+WITH {_E},
+dim AS (SELECT c_custkey, c_nationkey FROM customer),
+j AS (
+  SELECT e.user_id, d.c_nationkey AS nationkey, e.value
+  FROM e JOIN dim d ON e.user_id = d.c_custkey
+)
+SELECT nationkey, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM j GROUP BY 1
+""",
+)
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the unbounded event stream enriches against
+    a STATIC dimension (customer → nation), then aggregates per
+    nation — the canonical streaming-ETL enrichment shape. The static
+    side needs no watermark and no join state: Spark re-plans it per
+    micro-batch as an ordinary broadcast join, so dimension updates
+    between batches are picked up for free and the stream side never
+    shuffles for the join (state exists only for the downstream agg).
+    """
+    from mock_map_reduce_spark.sources import load_table
+
+    events = read_events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    enriched = events.join(dim, events.user_id == dim.c_custkey).select(
+        dim.c_nationkey.alias("nationkey"), "value"
+    )
+    agg = enriched.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    run_to_memory(agg, "drv_stream_static_enrich")
+    return spark.table("drv_stream_static_enrich")

@@ -143,6 +143,7 @@ _BOUNDED_BNLJ = {
     "text_bm25_topk",  # 1-row corpus-stats crossJoin broadcast onto the scan
     "join_bloom_pruned",  # 1-row Bloom-bitmap crossJoin broadcast onto the fact scan
     "basket_brand_lift",  # 1-row basket-count crossJoin broadcast onto the rule table
+    "diag_join_key_skew",  # 1-row summary × 1-row heaviest-key crossJoin
 }
 
 
