@@ -524,3 +524,72 @@ def q_similarity_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFra
     return sim.ann_topk_ivf_multiprobe(
         emb, queries, centroids, k=TOP_K, nprobe=IVF_NPROBE
     )
+
+
+_PC1_ITERS = 6
+
+
+def _pc1_oracle(n_iter: int) -> str:
+    """DuckDB replica of power_iteration_pc1 (operators/clustering.py):
+    quantize → exact Gram → 1/n rescale → n_iter rounded-decimal power
+    steps. MATERIALIZED CTEs for the same fan-out reason as the BPE
+    trainer oracle (each v/s CTE is referenced multiply per step).
+    DuckDB list indexing / range laterals are 1-based; dim_idx is
+    emitted 0-based to match posexplode."""
+    head = """WITH qv AS MATERIALIZED (
+  SELECT list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS aq
+  FROM embeddings
+),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM qv),
+dd AS MATERIALIZED (SELECT len(aq) AS d FROM qv LIMIT 1),
+sums AS MATERIALIZED (
+  SELECT u.i AS i, CAST(SUM(aq[u.i]) AS DECIMAL(19,0)) AS sx
+  FROM qv, UNNEST(range(1, len(aq) + 1)) AS u(i) GROUP BY 1
+),
+sxx AS MATERIALIZED (
+  SELECT ui.i AS i, uj.j AS j, CAST(SUM(aq[ui.i] * aq[uj.j]) AS DECIMAL(30,0)) AS s
+  FROM qv, UNNEST(range(1, len(aq) + 1)) AS ui(i), UNNEST(range(1, len(aq) + 1)) AS uj(j)
+  GROUP BY 1, 2
+),
+g AS MATERIALIZED (
+  SELECT x.i, x.j,
+         CAST(ROUND(CAST(CAST((SELECT n FROM nn) AS DECIMAL(8,0)) * x.s - si.sx * sj.sx AS DOUBLE)
+                    / (SELECT CAST(n AS DOUBLE) FROM nn), 0) AS DECIMAL(38,0)) AS g
+  FROM sxx x JOIN sums si ON si.i = x.i JOIN sums sj ON sj.i = x.j
+),
+v0 AS MATERIALIZED (
+  SELECT i AS j, ROUND(1.0 / sqrt((SELECT CAST(d AS DOUBLE) FROM dd)), 12) AS v FROM sums
+)"""
+    parts = [head]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT g.i, SUM(CAST(ROUND(CAST(g.g AS DOUBLE) * v.v, 0) AS DECIMAL(38,0))) AS s
+  FROM g JOIN v{k - 1} v ON v.j = g.j GROUP BY 1
+),
+n{k} AS MATERIALIZED (
+  SELECT sqrt(CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 0) AS DECIMAL(38,0))) AS DOUBLE)) AS nm
+  FROM s{k}
+),
+v{k} AS MATERIALIZED (
+  SELECT i AS j, ROUND(CAST(s AS DOUBLE) / (SELECT nm FROM n{k}), 12) AS v FROM s{k}
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(j - 1 AS INT) AS dim_idx, v AS pc1 FROM v{n_iter}"
+    )
+
+
+@query("embedding_pca_pc1", oracle=_pc1_oracle(_PC1_ITERS))
+def q_embedding_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal component of the embedding corpus by 6
+    bit-deterministic power-iteration steps
+    (operators/clustering.power_iteration_pc1) — covariance
+    accumulation AND every iterate oracle-matched to the last bit.
+    The drift/structure diagnostic beside the int8/PQ compression
+    family; convergence onto a planted dominant direction is pinned
+    by the unit test (the synthetic corpus here is near-isotropic, so
+    the 6-step iterate — not a converged limit — is the contract)."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return cl.power_iteration_pc1(vecs, n_iter=_PC1_ITERS)

@@ -158,3 +158,112 @@ def kmeans_lloyd(
     return final.select(
         F.col("vec_id").alias(id_col), "cell", F.round("cos", 6).alias("cosine")
     )
+
+
+_D38 = "decimal(38,0)"
+
+
+def power_iteration_pc1(
+    vecs: DataFrame, n_iter: int = 3, vec_col: str = "embedding", q: int = 1_000_000
+) -> DataFrame:
+    """Leading principal component of an embedding column by power
+    iteration — (dim_idx, pc1), the dimensionality-reduction /
+    drift-diagnosis primitive beside int8/PQ compression.
+
+    Bit-deterministic like kmeans/pagerank, so the WHOLE pipeline —
+    covariance accumulation and every iteration — is oracle-checkable:
+
+      * inputs quantize to integer micro-units (floor(x·1e6 + 0.5)),
+        so all corpus-touching sums are exact;
+      * the centered Gram is division-free: G = n·Σxᵢxⱼ − SᵢSⱼ over
+        exact DECIMAL(38,0) sums (n²× the covariance — same
+        eigenvectors, no rounding-sensitive mean subtraction);
+      * each iteration rounds G·v products to integers before the
+        exact decimal sum and renormalizes with a correctly-rounded
+        IEEE sqrt, then rounds v to 12 decimals — partitioning,
+        retries, and engines cannot reorder a float accumulation.
+
+    Seed v₀ = 1/√d on every dimension (no RNG); with 3 iterations the
+    output is the deterministic iterate, not a converged limit — the
+    oracle replays the identical three steps.
+
+    Scale (100 TB of vectors): ONE corpus pass builds the d² Gram
+    cells via a per-row outer-product explode with map-side partial
+    aggregation (d²·parts rows exchanged, corpus never re-read);
+    every iteration after that runs on the d×d table with the d-row
+    vector broadcast. Driver holds only d-sized scalars (the norm and
+    the loop counter) — the same "one heavy pass, then vocab-sized
+    iteration" shape as bpe_train.
+    """
+    aq = vecs.select(
+        F.expr(
+            f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * {q} + 0.5) AS BIGINT))"
+        ).alias("aq")
+    ).localCheckpoint()
+    n = aq.count()
+    d = aq.select(F.size("aq")).first()[0]
+
+    base = aq.select(F.posexplode("aq").alias("i", "xq"))
+    sums = base.groupBy("i").agg(F.sum("xq").cast(_D38).alias("sx"))
+    prod = aq.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(aq, (xi, i) -> "
+                "transform(aq, (xj, j) -> struct(i AS i, j AS j, xi * xj AS p))))"
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.p")
+    sxx = prod.groupBy("i", "j").agg(F.sum(F.col("p").cast(_D38)).alias("s"))
+    si = sums.select(F.col("i").alias("gi"), F.col("sx").alias("sx_i"))
+    sj = sums.select(F.col("i").alias("gj"), F.col("sx").alias("sx_j"))
+    # Rescale by 1/n after the exact accumulation (a scalar multiple —
+    # identical eigenvectors): keeps every later magnitude, including
+    # the squared norms, inside DECIMAL(38,0) through sf >= 1 where the
+    # raw n²·cov·1e12 Gram would overflow the norm computation.
+    g = (
+        sxx.join(F.broadcast(si), F.col("i") == F.col("gi"))
+        .join(F.broadcast(sj), F.col("j") == F.col("gj"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                (
+                    F.lit(n).cast(_D38) * F.col("s") - F.col("sx_i") * F.col("sx_j")
+                ).cast("double")
+                / F.lit(float(n)),
+                0,
+            )
+            .cast(_D38)
+            .alias("g"),
+        )
+        .localCheckpoint()
+    )
+
+    import math
+
+    v = sums.select(
+        F.col("i").alias("j"), F.lit(round(1.0 / math.sqrt(d), 12)).alias("v")
+    )
+    for _ in range(n_iter):
+        s = (
+            g.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(F.col("g").cast("double") * F.col("v"), 0).cast(_D38)
+                ).alias("s")
+            )
+        )
+        norm2 = s.agg(
+            F.sum(
+                F.round(F.col("s").cast("double") * F.col("s").cast("double"), 0).cast(
+                    _D38
+                )
+            ).alias("n2")
+        ).first()[0]
+        nm = math.sqrt(float(norm2))
+        v = s.select(
+            F.col("i").alias("j"),
+            F.round(F.col("s").cast("double") / F.lit(nm), 12).alias("v"),
+        ).localCheckpoint()
+    return v.select(F.col("j").cast("int").alias("dim_idx"), F.col("v").alias("pc1"))

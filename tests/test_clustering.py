@@ -66,3 +66,30 @@ def test_kcenter_deterministic_rerun(planted):
     a = sorted(tuple(r) for r in cl.kcenter_init(planted, k=3, pool_prefix_lt="g").collect())
     b = sorted(tuple(r) for r in cl.kcenter_init(planted, k=3, pool_prefix_lt="g").collect())
     assert a == b
+
+
+def test_power_iteration_pc1_recovers_planted_direction(spark):
+    """On a corpus WITH a dominant direction (strong rank-1 signal +
+    small deterministic noise), 6 power steps must align with it:
+    |cos(pc1, u)| > 0.99. The near-isotropic testdata exercises
+    bit-determinism via the oracle; this pins that the operator finds
+    real structure when structure exists."""
+    import math
+
+    from pyspark.sql import Row
+
+    from mock_map_reduce_spark.operators.clustering import power_iteration_pc1
+
+    d = 16
+    u = [math.sin(1.0 + 0.37 * j) for j in range(d)]  # fixed direction
+    un = math.sqrt(sum(x * x for x in u))
+    u = [x / un for x in u]
+    rows = []
+    for i in range(200):
+        scale = ((i * 37) % 17) - 8  # deterministic, mean ~0, |.| up to 8
+        noise = [0.05 * math.cos(0.91 * i + 1.7 * j) for j in range(d)]
+        rows.append(Row(vec_id=i, embedding=[scale * uj + nj for uj, nj in zip(u, noise)]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [r.pc1 for r in power_iteration_pc1(vecs, n_iter=6).orderBy("dim_idx").collect()]
+    cos = abs(sum(a * b for a, b in zip(got, u)))
+    assert cos > 0.99, cos
