@@ -50,6 +50,8 @@ HEADLINE = [
     "multimodal_image_features",
     "text_feature_hashing",
     "join_bloom_pruned",
+    "text_bpe_train_merges",
+    "embedding_pca_pc1",
 ]
 
 
