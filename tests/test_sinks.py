@@ -147,3 +147,36 @@ def test_partitionby_write_prunes_directories(spark, tmp_path):
     # and the data still round-trips
     n = one.count()
     assert n == events.filter(F.col("event_type") == "purchase").count()
+
+
+def test_write_audit_publish_lifecycle(spark, tmp_path):
+    """WAP contract: (1) a passing batch publishes and is readable;
+    (2) a failing audit raises, leaves NO staging residue, and
+    readers still see the previous generation; (3) a second good
+    batch bumps the generation and flips readers atomically."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from mock_map_reduce_spark.sources.tables import (
+        AuditFailed,
+        read_published,
+        write_audit_publish,
+    )
+
+    table = os.path.join(str(tmp_path), "tbl")
+    ok = [("nonempty", lambda d: d.count() > 0), ("no_null_k", lambda d: d.filter("k IS NULL").count() == 0)]
+
+    g0 = write_audit_publish(spark.createDataFrame([Row(k=1, v="a")]), table, ok)
+    assert g0.endswith("gen=0")
+    assert [(r.k, r.v) for r in read_published(spark, table).collect()] == [(1, "a")]
+
+    bad = spark.createDataFrame([Row(k=None, v="poison")], "k int, v string")
+    with _pytest.raises(AuditFailed):
+        write_audit_publish(bad, table, ok)
+    assert not os.path.exists(os.path.join(table, "_staging"))
+    assert [(r.k, r.v) for r in read_published(spark, table).collect()] == [(1, "a")]
+
+    write_audit_publish(spark.createDataFrame([Row(k=2, v="b")]), table, ok)
+    assert [(r.k, r.v) for r in read_published(spark, table).collect()] == [(2, "b")]
