@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from mock_map_reduce_spark.operators import clustering as cl
 from mock_map_reduce_spark.operators import text as tx
 from mock_map_reduce_spark.registry import query
 from mock_map_reduce_spark.sources import load_table
@@ -734,4 +735,109 @@ def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c") * F.length("word")).cast("long").alias("n_chars"),
             F.sum(F.col("c") * F.col("n_toks")).cast("long").alias("n_bpe_tokens"),
         )
+    )
+
+
+_HINGE_PATTERNS = [" the ", " a ", " table ", " join ", " data ", " row "]
+_HINGE_STEPS = 8
+_HINGE_SCALE = 1024
+_HINGE_LABEL_SQL = "CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END"
+
+
+def _hinge_oracle(patterns: list[str], n_steps: int, scale: int) -> str:
+    """DuckDB replica of train_hinge_classifier: integer feature
+    extraction (replace-length occurrence counts) and n_steps of the
+    all-integer margin-perceptron update, as chained MATERIALIZED
+    1-row weight CTEs."""
+    k = len(patterns) + 2
+    feat_exprs = [
+        "1 AS x0",
+        # centered whitespace-token count: the integer analogue of
+        # feature standardization — without it the unit bias cannot
+        # track a magnitude-45 count and training stalls at base rate
+        "(length(s) - length(replace(s, ' ', ''))) - 46 AS x1",
+    ] + [
+        f"(length(s) - length(replace(s, '{p}', ''))) // {len(p)} AS x{i + 2}"
+        for i, p in enumerate(patterns)
+    ]
+    parts = [
+        f"""WITH f AS MATERIALIZED (
+  SELECT {_HINGE_LABEL_SQL} AS y,
+         {", ".join(feat_exprs)}
+  FROM (SELECT n_chars, ' ' || lower(text) || ' ' AS s FROM documents)
+),
+w0 AS MATERIALIZED (SELECT {", ".join(f"CAST(0 AS BIGINT) AS w{i}" for i in range(k))})"""
+    ]
+    for t in range(1, n_steps + 1):
+        dot = " + ".join(f"(SELECT w{i} FROM w{t - 1}) * x{i}" for i in range(k))
+        grads = ", ".join(
+            f"COALESCE(SUM(CASE WHEN y * ({dot}) < {scale} THEN y * x{i} ELSE 0 END), 0) AS d{i}"
+            for i in range(k)
+        )
+        upd = ", ".join(f"wp.w{i} + g.d{i} AS w{i}" for i in range(k))
+        parts.append(
+            f"""g{t} AS MATERIALIZED (SELECT {grads} FROM f),
+w{t} AS MATERIALIZED (SELECT {upd} FROM w{t - 1} wp, g{t} g)"""
+        )
+    dotn = " + ".join(f"(SELECT w{i} FROM w{n_steps}) * x{i}" for i in range(k))
+    finals = "\nUNION ALL\n".join(
+        f"SELECT 'w_{i}' AS name, CAST(w{i} AS BIGINT) AS value FROM w{n_steps}"
+        for i in range(k)
+    )
+    return (
+        ",\n".join(parts)
+        + "\n"
+        + finals
+        + f"""
+UNION ALL
+SELECT '__n_train', CAST(COUNT(*) AS BIGINT) FROM f
+UNION ALL
+SELECT '__n_correct', CAST(COALESCE(SUM(CASE WHEN y * ({dotn}) > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM f"""
+    )
+
+
+@query(
+    "ml_train_hinge_classifier",
+    oracle=_hinge_oracle(_HINGE_PATTERNS, _HINGE_STEPS, _HINGE_SCALE),
+)
+def q_ml_train_hinge_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a linear document classifier ON the engine — the
+    fastText-style cheap-count-feature filter every pretraining
+    pipeline runs: occurrence-count features → 4 full-batch hinge
+    subgradient steps (operators/clustering.train_hinge_classifier).
+    With η = 1/1024 the update is PURE INTEGER (gw ← gw + Σ y·x over
+    margin violators), so weights AND train accuracy pass the
+    bit-exact hash gate — every step replayed by the DuckDB twin.
+
+    Target: length class (n_chars ≥ 300) from a centered
+    whitespace-token count plus six word-occurrence counts — deliberately a task with REAL signal in this synthetic
+    corpus (whose `lang` column is uncorrelated with its generated
+    text, so a linguistic target would train to the base rate; a real
+    corpus plugs stopword patterns + a language label into the same
+    two lines). Learnability is pinned: the test requires accuracy
+    well above the all-negative base rate, and separable-data
+    convergence is proven on a planted set. Occurrence counts use the
+    replace-length trick: identical non-overlapping semantics in both
+    engines, no regex."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    cols = [
+        F.when(F.col("n_chars") >= 300, 1).otherwise(-1).cast("long").alias("y"),
+        F.lit(1).cast("long").alias("x0"),
+        ((F.length(s) - F.length(F.replace(s, F.lit(" "), F.lit("")))) - F.lit(46))
+        .cast("long")
+        .alias("x1"),
+    ]
+    for i, p in enumerate(_HINGE_PATTERNS):
+        cols.append(
+            (
+                (F.length(s) - F.length(F.replace(s, F.lit(p), F.lit(""))))
+                / F.lit(len(p))
+            )
+            .cast("long")
+            .alias(f"x{i + 2}")
+        )
+    feats = docs.select(*cols)
+    return cl.train_hinge_classifier(
+        feats, n_features=len(_HINGE_PATTERNS) + 2, n_steps=_HINGE_STEPS, scale=_HINGE_SCALE
     )

@@ -267,3 +267,55 @@ def power_iteration_pc1(
             F.round(F.col("s").cast("double") / F.lit(nm), 12).alias("v"),
         ).localCheckpoint()
     return v.select(F.col("j").cast("int").alias("dim_idx"), F.col("v").alias("pc1"))
+
+
+def train_hinge_classifier(
+    feats: DataFrame, n_features: int, n_steps: int = 4, scale: int = 1024
+) -> DataFrame:
+    """Full-batch hinge-loss subgradient trainer (linear classifier),
+    engineered to PURE INTEGER arithmetic so every step is bit-exact
+    in any engine: with learning rate 1/scale and weights stored as
+    integer numerators gw (w = gw/scale), the update collapses to
+
+        gw ← gw + Σ_{margin violators} y·x,   violator ⇔ y·(gw·x) < scale
+
+    — the classic margin-perceptron form of the hinge subgradient.
+    No floats exist anywhere in training; overflow is unreachable
+    (|gw| ≤ steps · Σ|x|, int64 headroom ~1e13 beyond any corpus
+    here). This is the fastText-style quality/language filter every
+    pretraining pipeline trains over cheap count features.
+
+    ``feats`` must carry y in {+1,-1} and x0..x{n-1} integer feature
+    columns (x0 = bias 1). Returns the weight table plus train
+    metrics as rows: (name, value) — w_<i> numerators, __n_train,
+    __n_correct (strict sign agreement; margin 0 counts wrong).
+
+    Scale: each step is ONE corpus pass — the k gradient sums
+    partial-aggregate map-side and the weights travel as literals in
+    the task closures (k doubles); the driver holds only the k-vector
+    between steps (same contract as kmeans centroids). localCheckpoint
+    pins the feature frame once; steps never re-derive it.
+    """
+    spark = feats.sparkSession
+    f = feats.localCheckpoint()
+    gw = [0] * n_features
+
+    def margin_num():
+        dot = sum(F.col(f"x{i}") * F.lit(gw[i]) for i in range(n_features))
+        return F.col("y") * dot
+
+    for _ in range(n_steps):
+        viol = f.filter(margin_num() < scale)
+        grads = viol.agg(
+            *[F.sum(F.col("y") * F.col(f"x{i}")).alias(f"g{i}") for i in range(n_features)]
+        ).first()
+        for i in range(n_features):
+            gw[i] += int(grads[f"g{i}"] or 0)
+
+    counts = f.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((margin_num() > 0).cast("long")).alias("c"),
+    ).first()
+    rows = [(f"w_{i}", gw[i]) for i in range(n_features)]
+    rows += [("__n_train", int(counts["n"])), ("__n_correct", int(counts["c"] or 0))]
+    return spark.createDataFrame(rows, "name string, value bigint")

@@ -93,3 +93,50 @@ def test_power_iteration_pc1_recovers_planted_direction(spark):
     got = [r.pc1 for r in power_iteration_pc1(vecs, n_iter=6).orderBy("dim_idx").collect()]
     cos = abs(sum(a * b for a, b in zip(got, u)))
     assert cos > 0.99, cos
+
+
+def test_hinge_trainer_converges_on_separable_data(spark):
+    """On linearly separable data the margin-perceptron update must
+    reach 100% train accuracy; weights are pinned against an
+    independent pure-Python replay of the same integer recurrence."""
+    from pyspark.sql import Row
+
+    from mock_map_reduce_spark.operators.clustering import train_hinge_classifier
+
+    data = [(1, [1, v]) for v in range(5, 15)] + [(-1, [1, v]) for v in range(-14, -4)]
+    rows = [Row(y=y, x0=x[0], x1=x[1]) for y, x in data]
+    out = {
+        r.name: r.value
+        for r in train_hinge_classifier(
+            spark.createDataFrame(rows), n_features=2, n_steps=6
+        ).collect()
+    }
+    gw = [0, 0]
+    for _ in range(6):
+        g = [0, 0]
+        for y, x in data:
+            if y * (gw[0] * x[0] + gw[1] * x[1]) < 1024:
+                g[0] += y * x[0]
+                g[1] += y * x[1]
+        gw = [a + b for a, b in zip(gw, g)]
+    assert (out["w_0"], out["w_1"]) == tuple(gw)
+    assert out["__n_correct"] == out["__n_train"] == 20
+
+
+def test_hinge_classifier_query_beats_base_rate(spark, sf_dir):
+    """The catalog training task must actually LEARN: train accuracy
+    well above the majority-class base rate (the is-English target it
+    replaces trains exactly TO base rate on this synthetic corpus)."""
+    from mock_map_reduce_spark import registry
+
+    registry.load_all()
+    out = {
+        r.name: r.value
+        for r in registry.QUERIES["ml_train_hinge_classifier"](spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pos = docs.filter("n_chars >= 300").count()
+    n = out["__n_train"]
+    base = max(pos, n - pos) / n
+    acc = out["__n_correct"] / n
+    assert acc >= base + 0.15, (acc, base)
