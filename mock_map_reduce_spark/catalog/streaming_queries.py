@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mock_map_reduce_spark.operators.timeseries import TS_FMT
+from mock_map_reduce_spark.sources import load_table
 from mock_map_reduce_spark.registry import query
 from mock_map_reduce_spark.streaming import (
     minute_partials_stream,
@@ -338,3 +339,48 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agg, "drv_stream_static_enrich")
     return spark.table("drv_stream_static_enrich")
+
+
+@query(
+    "streaming_approx_distinct_users",
+    oracle=f"""
+WITH {_E}
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, t), '{_FMT}') AS window_start,
+       COUNT(DISTINCT user_id) AS n_exact,
+       true AS within_bound
+FROM e GROUP BY 1
+""",
+)
+def q_streaming_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per hour on the STREAM — which forces the HLL
+    sketch: COUNT(DISTINCT) is unsupported in streaming aggregation
+    (it would need unbounded per-window sets), so
+    approx_count_distinct IS streaming's distinct-count surface.
+    Accuracy-gate design (same as approx_distinct): the landed
+    per-window sketch estimates are bound-checked against the exact
+    batch counts — |approx − exact| ≤ max(5, 25%·exact) per window —
+    and the exact counts themselves hash-match DuckDB, so a sketch
+    regression flips within_bound and fails the gate."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .select(F.col("w.start").alias("ws"), "approx_users")
+    )
+    run_to_memory(agg, "drv_stream_approx_distinct")
+    landed = spark.table("drv_stream_approx_distinct")
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+        .select(F.col("w.start").alias("ws"), "n_exact")
+    )
+    return exact.join(landed, "ws").select(
+        F.date_format("ws", TS_FMT).alias("window_start"),
+        "n_exact",
+        (
+            F.abs(F.col("approx_users") - F.col("n_exact"))
+            <= F.greatest(F.lit(5.0), F.lit(0.25) * F.col("n_exact"))
+        ).alias("within_bound"),
+    )

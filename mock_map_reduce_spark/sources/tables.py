@@ -266,10 +266,19 @@ def write_audit_publish(
     return new_gen
 
 
-def read_published(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Read whatever generation _CURRENT points at (see write_audit_publish)."""
+def read_published(
+    spark: SparkSession, table_dir: str, gen: int | None = None
+) -> DataFrame:
+    """Read the generation _CURRENT points at (see write_audit_publish),
+    or time-travel to an explicit retained generation with ``gen=k`` —
+    published generations are immutable, so any pinned reader
+    (a reproducible training run, an incident investigation) keeps
+    seeing exactly the data it started with."""
     import os
 
-    with open(os.path.join(table_dir, "_CURRENT")) as f:
-        gen = f.read().strip()
-    return spark.read.parquet(os.path.join(table_dir, gen))
+    if gen is not None:
+        name = f"gen={gen}"
+    else:
+        with open(os.path.join(table_dir, "_CURRENT")) as f:
+            name = f.read().strip()
+    return spark.read.parquet(os.path.join(table_dir, name))

@@ -180,3 +180,5 @@ def test_write_audit_publish_lifecycle(spark, tmp_path):
 
     write_audit_publish(spark.createDataFrame([Row(k=2, v="b")]), table, ok)
     assert [(r.k, r.v) for r in read_published(spark, table).collect()] == [(2, "b")]
+    # time travel: generation 0 stays immutable and readable
+    assert [(r.k, r.v) for r in read_published(spark, table, gen=0).collect()] == [(1, "a")]
