@@ -195,32 +195,49 @@ def power_iteration_pc1(
     the loop counter) — the same "one heavy pass, then vocab-sized
     iteration" shape as bpe_train.
     """
-    aq = vecs.select(
-        F.expr(
-            f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * {q} + 0.5) AS BIGINT))"
-        ).alias("aq")
+    from mock_map_reduce_spark.functions.partitioning import spread
+
+    # spread(heavy=True): a 100 TB embedding table arrives well-split,
+    # but a small parquet file is ONE split — and the d²/2-per-row
+    # outer-product explode below is exactly the per-row-heavy work
+    # the adaptive policy exists for (measured 4x on the bench query).
+    aq = spread(
+        vecs.select(
+            F.expr(
+                f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * {q} + 0.5) AS BIGINT))"
+            ).alias("aq")
+        ),
+        heavy=True,
     ).localCheckpoint()
-    n = aq.count()
-    d = aq.select(F.size("aq")).first()[0]
+    nd = aq.agg(F.count(F.lit(1)).alias("n"), F.max(F.size("aq")).alias("d")).first()
+    n, d = int(nd["n"]), int(nd["d"])
 
     base = aq.select(F.posexplode("aq").alias("i", "xq"))
     sums = base.groupBy("i").agg(F.sum("xq").cast(_D38).alias("sx"))
+    # Upper triangle only (i <= j): halves the explode; the mirror is a
+    # d²/2-row union AFTER aggregation, not corpus-scale work.
     prod = aq.select(
         F.explode(
             F.expr(
                 "flatten(transform(aq, (xi, i) -> "
-                "transform(aq, (xj, j) -> struct(i AS i, j AS j, xi * xj AS p))))"
+                "transform(slice(aq, i + 1, size(aq) - i), "
+                "(xj, j) -> struct(i AS i, i + j AS j, xi * xj AS p))))"
             )
         ).alias("t")
     ).select("t.i", "t.j", "t.p")
-    sxx = prod.groupBy("i", "j").agg(F.sum(F.col("p").cast(_D38)).alias("s"))
+    upper = prod.groupBy("i", "j").agg(F.sum(F.col("p").cast(_D38)).alias("s"))
+    sxx = upper.unionByName(
+        upper.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "s"
+        )
+    )
     si = sums.select(F.col("i").alias("gi"), F.col("sx").alias("sx_i"))
     sj = sums.select(F.col("i").alias("gj"), F.col("sx").alias("sx_j"))
     # Rescale by 1/n after the exact accumulation (a scalar multiple —
     # identical eigenvectors): keeps every later magnitude, including
     # the squared norms, inside DECIMAL(38,0) through sf >= 1 where the
     # raw n²·cov·1e12 Gram would overflow the norm computation.
-    g = (
+    g_rows = (
         sxx.join(F.broadcast(si), F.col("i") == F.col("gi"))
         .join(F.broadcast(sj), F.col("j") == F.col("gj"))
         .select(
@@ -236,37 +253,44 @@ def power_iteration_pc1(
             .cast(_D38)
             .alias("g"),
         )
-        .localCheckpoint()
+        .collect()
     )
-
+    # The power steps run on the DRIVER over the collected d×d Gram
+    # (d² decimals — constant-size, ~32 KB at d=64), the same split
+    # Spark MLlib's computePrincipalComponents uses: corpus-scale
+    # accumulation distributed, constant-size linear algebra local.
+    # Distributed iterations on a d²-row table benchmarked 3 s of pure
+    # shuffle-scheduling overhead per query. Arithmetic reproduces the
+    # engine semantics exactly: IEEE doubles, integer rounding
+    # HALF-AWAY-FROM-ZERO (floor(|x|+0.5)·sign — python round() is
+    # banker's and would diverge), and 12-decimal rounding via
+    # Decimal ROUND_HALF_UP (== Spark's BigDecimal round on doubles).
     import math
+    from decimal import ROUND_HALF_UP, Decimal
 
-    v = sums.select(
-        F.col("i").alias("j"), F.lit(round(1.0 / math.sqrt(d), 12)).alias("v")
-    )
+    def iround(x: float) -> int:
+        return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+    def round12(x: float) -> float:
+        return float(Decimal(x).quantize(Decimal("1e-12"), ROUND_HALF_UP))
+
+    gmat: dict[int, list[tuple[int, int]]] = {}
+    for r in g_rows:
+        gmat.setdefault(int(r.i), []).append((int(r.j), int(r.g)))
+    for row in gmat.values():
+        row.sort()
+    vv = {i: round12(1.0 / math.sqrt(d)) for i in range(d)}
     for _ in range(n_iter):
-        s = (
-            g.join(F.broadcast(v), "j")
-            .groupBy("i")
-            .agg(
-                F.sum(
-                    F.round(F.col("g").cast("double") * F.col("v"), 0).cast(_D38)
-                ).alias("s")
-            )
-        )
-        norm2 = s.agg(
-            F.sum(
-                F.round(F.col("s").cast("double") * F.col("s").cast("double"), 0).cast(
-                    _D38
-                )
-            ).alias("n2")
-        ).first()[0]
-        nm = math.sqrt(float(norm2))
-        v = s.select(
-            F.col("i").alias("j"),
-            F.round(F.col("s").cast("double") / F.lit(nm), 12).alias("v"),
-        ).localCheckpoint()
-    return v.select(F.col("j").cast("int").alias("dim_idx"), F.col("v").alias("pc1"))
+        s = {
+            i: sum(iround(float(gij) * vv[j]) for j, gij in row)
+            for i, row in gmat.items()
+        }
+        nm = math.sqrt(float(sum(iround(float(x) * float(x)) for x in s.values())))
+        vv = {i: round12(float(x) / nm) for i, x in s.items()}
+    spark = vecs.sparkSession
+    return spark.createDataFrame(
+        sorted(vv.items()), "dim_idx int, pc1 double"
+    )
 
 
 def train_hinge_classifier(
