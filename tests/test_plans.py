@@ -238,6 +238,7 @@ def test_heavy_catalog_queries_spread_when_under_parallel(q):
         "multimodal_image_features",
         "multimodal_audio_features",
         "multimodal_video_frames",
+        "embedding_pca_pc1",  # d²/2-per-row outer-product explode
     ):
         assert "RoundRobinPartitioning" in executed_plan(q(name)), name
 
