@@ -163,6 +163,30 @@ def kmeans_lloyd(
 _D38 = "decimal(38,0)"
 
 
+def pca_quantized(
+    vecs: DataFrame, vec_col: str = "embedding", q: int = 1_000_000
+) -> DataFrame:
+    """Corpus-scale stage of power_iteration_pc1: quantize each vector
+    to integer micro-units and spread(heavy=True) for the per-row Gram
+    work. Exposed separately so the plan-pin test can assert the
+    repartition on the stage that must scale (the returned PC1 frame
+    itself is a constant-size driver-built table)."""
+    from mock_map_reduce_spark.functions.partitioning import spread
+
+    # spread(heavy=True): a 100 TB embedding table arrives well-split,
+    # but a small parquet file is ONE split — and the per-row d×d
+    # outer-product accumulation is exactly the per-row-heavy work the
+    # adaptive policy exists for (measured 4x on the bench query).
+    return spread(
+        vecs.select(
+            F.expr(
+                f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * {q} + 0.5) AS BIGINT))"
+            ).alias("aq")
+        ),
+        heavy=True,
+    )
+
+
 def power_iteration_pc1(
     vecs: DataFrame, n_iter: int = 3, vec_col: str = "embedding", q: int = 1_000_000
 ) -> DataFrame:
@@ -195,20 +219,7 @@ def power_iteration_pc1(
     the loop counter) — the same "one heavy pass, then vocab-sized
     iteration" shape as bpe_train.
     """
-    from mock_map_reduce_spark.functions.partitioning import spread
-
-    # spread(heavy=True): a 100 TB embedding table arrives well-split,
-    # but a small parquet file is ONE split — and the d²/2-per-row
-    # outer-product explode below is exactly the per-row-heavy work
-    # the adaptive policy exists for (measured 4x on the bench query).
-    aq = spread(
-        vecs.select(
-            F.expr(
-                f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * {q} + 0.5) AS BIGINT))"
-            ).alias("aq")
-        ),
-        heavy=True,
-    ).localCheckpoint()
+    aq = pca_quantized(vecs, vec_col, q).localCheckpoint()
     nd = aq.agg(F.count(F.lit(1)).alias("n"), F.max(F.size("aq")).alias("d")).first()
     n, d = int(nd["n"]), int(nd["d"])
 

@@ -238,9 +238,20 @@ def test_heavy_catalog_queries_spread_when_under_parallel(q):
         "multimodal_image_features",
         "multimodal_audio_features",
         "multimodal_video_frames",
-        "embedding_pca_pc1",  # d²/2-per-row outer-product explode
     ):
         assert "RoundRobinPartitioning" in executed_plan(q(name)), name
+
+
+def test_pca_gram_stage_spreads_when_under_parallel(spark, sf_dir):
+    """embedding_pca_pc1 returns a driver-built d-row frame (constant
+    size — MLlib's computePrincipalComponents split), so its spread
+    pin lives on the corpus-scale Gram-accumulation stage instead of
+    the returned DataFrame."""
+    from mock_map_reduce_spark.operators.clustering import pca_quantized
+    from mock_map_reduce_spark.sources import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    assert "RoundRobinPartitioning" in executed_plan(pca_quantized(vecs))
 
 
 def test_rollup_two_level_plan(q):
