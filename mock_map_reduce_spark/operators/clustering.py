@@ -212,62 +212,72 @@ def power_iteration_pc1(
     oracle replays the identical three steps.
 
     Scale (100 TB of vectors): ONE corpus pass builds the d² Gram
-    cells via a per-row outer-product explode with map-side partial
-    aggregation (d²·parts rows exchanged, corpus never re-read);
-    every iteration after that runs on the d×d table with the d-row
-    vector broadcast. Driver holds only d-sized scalars (the norm and
-    the loop counter) — the same "one heavy pass, then vocab-sized
-    iteration" shape as bpe_train.
+    cells — mapInPandas folds each Arrow batch into a d×d integer
+    Gram with numpy matmul, so only d(d+1)/2+d partial rows leave
+    each partition (d²·parts rows exchanged total, corpus never
+    re-read); the constant-size d×d result collects to the driver
+    for the vocabulary-scale power steps — the split Spark MLlib's
+    computePrincipalComponents uses. Driver holds only d×d ints.
     """
     aq = pca_quantized(vecs, vec_col, q).localCheckpoint()
     nd = aq.agg(F.count(F.lit(1)).alias("n"), F.max(F.size("aq")).alias("d")).first()
     n, d = int(nd["n"]), int(nd["d"])
 
-    base = aq.select(F.posexplode("aq").alias("i", "xq"))
-    sums = base.groupBy("i").agg(F.sum("xq").cast(_D38).alias("sx"))
-    # Upper triangle only (i <= j): halves the explode; the mirror is a
-    # d²/2-row union AFTER aggregation, not corpus-scale work.
-    prod = aq.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(aq, (xi, i) -> "
-                "transform(slice(aq, i + 1, size(aq) - i), "
-                "(xj, j) -> struct(i AS i, i + j AS j, xi * xj AS p))))"
-            )
-        ).alias("t")
-    ).select("t.i", "t.j", "t.p")
-    upper = prod.groupBy("i", "j").agg(F.sum(F.col("p").cast(_D38)).alias("s"))
-    sxx = upper.unionByName(
-        upper.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "s"
-        )
+    # Gram accumulation via mapInPandas: each Arrow batch folds its rows
+    # into ONE d×d integer Gram (numpy int64 matmul) plus the column-sum
+    # vector, emitted as d(d+1)/2 + d partial rows per PARTITION — the
+    # same exact integer sums as a per-row outer-product explode, at
+    # ~2000× fewer generated rows (the explode form was 40% of the whole
+    # bench). Exactness: per-chunk row caps keep every int64 matmul
+    # accumulation below 2^62 (chunked by max|x| per batch), and the
+    # partials merge as Python ints / DECIMAL(38,0) — bit-identical to
+    # the oracle's per-product decimal sum in any grouping order.
+    def _gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+        from decimal import Decimal
+
+        G = S = None
+        dim = 0
+        for pdf in batches:
+            arrs = pdf["aq"].to_list()
+            if not arrs:
+                continue
+            X = np.asarray(arrs, dtype=np.int64)
+            dim = X.shape[1]
+            if G is None:
+                G = np.zeros((dim, dim), dtype=object)
+                S = np.zeros(dim, dtype=object)
+            m = int(np.abs(X).max())
+            cap = X.shape[0] if m == 0 else max(1, (1 << 62) // (m * m))
+            for s0 in range(0, X.shape[0], cap):
+                C = X[s0 : s0 + cap]
+                G += (C.T @ C).astype(object)
+                S += C.sum(axis=0, dtype=np.int64).astype(object)
+        if G is None:
+            return
+        rows = [(i, -1, Decimal(int(S[i]))) for i in range(dim)]
+        rows += [
+            (i, j, Decimal(int(G[i, j]))) for i in range(dim) for j in range(i, dim)
+        ]
+        yield pd.DataFrame(rows, columns=["i", "j", "s"])
+
+    partial_rows = (
+        aq.mapInPandas(_gram_partials, "i int, j int, s decimal(38,0)")
+        .groupBy("i", "j")
+        .agg(F.sum("s").cast(_D38).alias("s"))
+        .collect()
     )
-    si = sums.select(F.col("i").alias("gi"), F.col("sx").alias("sx_i"))
-    sj = sums.select(F.col("i").alias("gj"), F.col("sx").alias("sx_j"))
+    sums_i = {int(r.i): int(r.s) for r in partial_rows if r.j == -1}
     # Rescale by 1/n after the exact accumulation (a scalar multiple —
     # identical eigenvectors): keeps every later magnitude, including
     # the squared norms, inside DECIMAL(38,0) through sf >= 1 where the
-    # raw n²·cov·1e12 Gram would overflow the norm computation.
-    g_rows = (
-        sxx.join(F.broadcast(si), F.col("i") == F.col("gi"))
-        .join(F.broadcast(sj), F.col("j") == F.col("gj"))
-        .select(
-            "i",
-            "j",
-            F.round(
-                (
-                    F.lit(n).cast(_D38) * F.col("s") - F.col("sx_i") * F.col("sx_j")
-                ).cast("double")
-                / F.lit(float(n)),
-                0,
-            )
-            .cast(_D38)
-            .alias("g"),
-        )
-        .collect()
-    )
+    # raw n²·cov·1e12 Gram would overflow the norm computation. Done in
+    # IEEE doubles exactly as the engine/oracle expression: the exact
+    # integer n·Σxᵢxⱼ − SᵢSⱼ casts to the nearest double, divides by n,
+    # rounds half-away-from-zero — DuckDB's ROUND(double, 0).
     # The power steps run on the DRIVER over the collected d×d Gram
-    # (d² decimals — constant-size, ~32 KB at d=64), the same split
+    # (d² ints — constant-size, ~32 KB at d=64), the same split
     # Spark MLlib's computePrincipalComponents uses: corpus-scale
     # accumulation distributed, constant-size linear algebra local.
     # Distributed iterations on a d²-row table benchmarked 3 s of pure
@@ -286,8 +296,15 @@ def power_iteration_pc1(
         return float(Decimal(x).quantize(Decimal("1e-12"), ROUND_HALF_UP))
 
     gmat: dict[int, list[tuple[int, int]]] = {}
-    for r in g_rows:
-        gmat.setdefault(int(r.i), []).append((int(r.j), int(r.g)))
+    for r in partial_rows:
+        i, j = int(r.i), int(r.j)
+        if j < 0:
+            continue
+        e = n * int(r.s) - sums_i[i] * sums_i[j]
+        gv = iround(float(e) / float(n))
+        gmat.setdefault(i, []).append((j, gv))
+        if i != j:
+            gmat.setdefault(j, []).append((i, gv))
     for row in gmat.values():
         row.sort()
     vv = {i: round12(1.0 / math.sqrt(d)) for i in range(d)}
