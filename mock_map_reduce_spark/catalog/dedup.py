@@ -204,17 +204,30 @@ def q_dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFr
     test_dedup asserts the estimator's accuracy on planted pairs; this
     entry puts the comparison itself in the hard gate. Plan: the
     signature agg and the gram posting machinery are the same
-    exchanges the LSH and Jaccard queries already take; candidates
-    bound the pair fan-out.
+    exchanges the LSH and Jaccard queries already take, and the
+    exact-Jaccard side runs ONLY over docs appearing in some LSH
+    candidate pair (doc-level semi-join before shingling): each kept
+    doc keeps ALL its shingles, so sizes and intersections — hence
+    jaccard — are bit-identical for candidate pairs, while pair
+    fan-out is bounded by the candidate set instead of corpus-wide
+    co-occurrence (the oracle needs no mirror: dropped pairs were
+    never joined).
     """
     sigs = dd.minhash_signatures(
         load_table(spark, sf_dir, "documents"), NUM_HASHES, NGRAM, use_md5=True
     )
     cand = dd.lsh_candidate_pairs(
         load_table(spark, sf_dir, "documents"), NUM_HASHES, BANDS, NGRAM, use_md5=True
+    ).localCheckpoint()
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
     )
     jac = dd.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), NGRAM, threshold=0.0
+        load_table(spark, sf_dir, "documents").join(cand_ids, "doc_id", "left_semi"),
+        NGRAM,
+        threshold=0.0,
     )
     sa = sigs.select(
         F.col("doc_id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(16)]

@@ -596,7 +596,7 @@ WITH changes AS (
 ),
 kept AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
-  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes WHERE op IN ('U', 'D'))
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes WHERE op IN ('U', 'I', 'D'))
 )
 SELECT * FROM kept
 UNION ALL

@@ -803,7 +803,7 @@ SELECT '__n_correct', CAST(COALESCE(SUM(CASE WHEN y * ({dotn}) > 0 THEN 1 ELSE 0
 def q_ml_train_hinge_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a linear document classifier ON the engine — the
     fastText-style cheap-count-feature filter every pretraining
-    pipeline runs: occurrence-count features → 4 full-batch hinge
+    pipeline runs: occurrence-count features → 8 full-batch hinge
     subgradient steps (operators/clustering.train_hinge_classifier).
     With η = 1/1024 the update is PURE INTEGER (gw ← gw + Σ y·x over
     margin violators), so weights AND train accuracy pass the

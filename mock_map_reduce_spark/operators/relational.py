@@ -121,10 +121,12 @@ def merge_into(
     append-only sinks (slave.cc write path) cannot express.
 
     ``changes`` carries ``op_col`` in {'U','I','D'}: matched updates
-    replace the base row, inserts add new keys, deletes drop them.
-    Last-writer-wins within the feed is the CALLER's contract (one
-    row per key per apply), matching how a compacted CDC topic
-    arrives.
+    replace the base row, inserts add new keys (an 'I' whose key
+    already exists in base behaves as an upsert — the base row is
+    evicted, never duplicated, matching MERGE's one-row-per-key
+    invariant), deletes drop them. Last-writer-wins within the feed
+    is the CALLER's contract (one row per key per apply), matching
+    how a compacted CDC topic arrives.
 
     Implemented as copy-on-write, not a full outer join: base rows
     whose key appears in the feed leave via a LEFT ANTI join against
@@ -135,7 +137,9 @@ def merge_into(
     sort-merge of the whole base. (At real scale the anti join also
     partition-prunes: only files containing touched keys rewrite.)
     """
-    touched = changes.filter(F.col(op_col).isin("U", "D")).select(key_col).distinct()
+    # 'I' keys join the eviction set too: an insert whose key already
+    # exists in base must replace it (upsert), not duplicate it.
+    touched = changes.filter(F.col(op_col).isin("U", "I", "D")).select(key_col).distinct()
     kept = base.join(F.broadcast(touched), key_col, "left_anti")
     upserts = changes.filter(F.col(op_col).isin("U", "I")).drop(op_col)
     return kept.unionByName(upserts)

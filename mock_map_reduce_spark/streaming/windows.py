@@ -313,12 +313,17 @@ def cdc_upsert_stream_to_snapshot(
     previous snapshot by the same max-of-struct, and writes a new
     snapshot generation (copy-on-write; the old generation stays
     readable until the swap, and a replayed batch re-derives the same
-    state, so restarts are idempotent). Because the merge compares
-    versions instead of trusting arrival order, OUT-OF-ORDER batches
-    produce the identical snapshot — pinned by the unit test that
-    streams files one per trigger in arbitrary order. Tombstones stay
-    in the snapshot so a late pre-delete update cannot resurrect a
-    deleted key; readers filter op = 'D'.
+    state, so restarts are idempotent). On entry the snapshot pointer
+    recovers to the NEWEST existing generation under ``workdir``: a
+    process restart from the same checkpoint does not replay committed
+    offsets, so without recovery the first post-restart batch would
+    silently rebuild the snapshot from scratch and drop all earlier
+    state — pinned by the restart unit test. Because the merge
+    compares versions instead of trusting arrival order, OUT-OF-ORDER
+    batches produce the identical snapshot — pinned by the unit test
+    that streams files one per trigger in arbitrary order. Tombstones
+    stay in the snapshot so a late pre-delete update cannot resurrect
+    a deleted key; readers filter op = 'D'.
 
     Scale: per-batch work is one partial-agg'd groupBy on the batch
     (usually tiny) plus a key-partitioned merge with the snapshot; at
@@ -338,7 +343,24 @@ def cdc_upsert_stream_to_snapshot(
             "value",
         ).alias("s"),
     )
-    state = {"dir": None}
+    # Recover the snapshot pointer across process restarts: the file
+    # source's committed offsets are NOT replayed, so the merge chain
+    # must resume from the last published generation, not from None.
+    def newest_gen() -> str | None:
+        try:
+            gens = [
+                name
+                for name in os.listdir(workdir)
+                if name.startswith("snapshot_gen_")
+            ]
+        except OSError:
+            return None
+        if not gens:
+            return None
+        top = max(gens, key=lambda name: int(name.rsplit("_", 1)[1]))
+        return os.path.join(workdir, top)
+
+    state = {"dir": newest_gen()}
 
     def latest(df: DataFrame) -> DataFrame:
         return df.groupBy("user_id").agg(F.max("s").alias("s"))

@@ -271,10 +271,17 @@ def test_merge_into_semantics_and_plan(spark):
         [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
     )
     changes = spark.createDataFrame(
-        [Row(k=2, v="B", op="U"), Row(k=3, v=None, op="D"), Row(k=9, v="z", op="I")]
+        [
+            Row(k=2, v="B", op="U"),
+            Row(k=3, v=None, op="D"),
+            Row(k=9, v="z", op="I"),
+            # insert on an EXISTING key: upsert — evicts the base row,
+            # never duplicates (MERGE's one-row-per-key invariant)
+            Row(k=1, v="A", op="I"),
+        ]
     )
     out = merge_into(base, changes, "k")
-    assert {(r.k, r.v) for r in out.collect()} == {(1, "a"), (2, "B"), (9, "z")}
+    assert {(r.k, r.v) for r in out.collect()} == {(1, "A"), (2, "B"), (9, "z")}
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

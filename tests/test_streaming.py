@@ -347,3 +347,48 @@ def test_cdc_upsert_out_of_order_batches(spark, tmp_path):
     assert live == {(1, 3, 20.0), (3, 5, 7.0)}  # user 2 stays deleted
     dead = {r.user_id for r in snap.filter("op = 'D'").collect()}
     assert dead == {2}  # tombstone retained, not resurrected by event 4
+
+
+def test_cdc_upsert_recovers_snapshot_across_restart(spark, tmp_path):
+    """Process restart from the same checkpoint: committed offsets are
+    NOT replayed, so the snapshot pointer must recover to the newest
+    published generation or the first post-restart batch silently
+    drops all earlier state. Run 1 applies user 1; run 2 (fresh call,
+    same workdir+checkpoint) applies only user 2 — the final snapshot
+    must still carry user 1."""
+    import datetime as dt
+    import glob as _glob
+    import os
+    import shutil
+
+    from pyspark.sql import Row
+
+    from mock_map_reduce_spark.streaming import cdc_upsert_stream_to_snapshot
+
+    schema = (
+        "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    src = os.path.join(str(tmp_path), "stream_src")
+    os.makedirs(src)
+    work = os.path.join(str(tmp_path), "work")
+
+    def land(i, rows):
+        d = os.path.join(str(tmp_path), f"w{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        part = _glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"f{i}.parquet"))
+
+    def stream():
+        return spark.readStream.schema(schema).parquet(src)
+
+    t0 = dt.datetime(2026, 1, 1)
+    land(0, [Row(event_id=1, user_id=1, ts=t0, event_type="click", value=10.0)])
+    snap1 = cdc_upsert_stream_to_snapshot(stream(), workdir=work)
+    assert {r.user_id for r in snap1.collect()} == {1}
+
+    # "restart": a fresh call reuses the same checkpoint, so only the
+    # new file is processed — user 1 exists ONLY in the old snapshot.
+    land(1, [Row(event_id=2, user_id=2, ts=t0, event_type="click", value=20.0)])
+    snap2 = cdc_upsert_stream_to_snapshot(stream(), workdir=work)
+    got = {(r.user_id, r.value) for r in snap2.collect()}
+    assert got == {(1, 10.0), (2, 20.0)}
