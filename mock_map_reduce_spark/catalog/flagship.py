@@ -85,3 +85,43 @@ GROUP BY word
 def q_word_count_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UD1: the literal flatMap/reduceByKey MapReduce contract (demo path)."""
     return wc.word_count_rdd(load_table(spark, sf_dir, "documents"), "text")
+
+
+@query(
+    "hdfs_uri_scan_words",
+    oracle=_WORDS_CTE
+    + """
+SELECT word, count(*) AS count
+FROM words WHERE word <> ''
+GROUP BY word
+""",
+)
+def q_hdfs_uri_scan_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 delegation EXERCISED, not asserted: the reference scans HDFS
+    (master.cc readfile dispatch); Spark serves every scheme through
+    the same Hadoop FileSystem connector. This query resolves the
+    documents table through the Hadoop FS API itself — Path →
+    FileSystem → FileStatus — and hands the resulting explicit
+    ``file://`` URIs to the parquet scan: the byte-for-byte identical
+    read path an ``hdfs://`` URI takes on a cluster (only the
+    FileSystem implementation behind the interface changes). Oracle =
+    the plain word_count, so a URI-resolution defect (double-scan,
+    missed file, scheme mishandling) shows up as a value mismatch.
+    """
+    from mock_map_reduce_spark.sources.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(f"file://{sf_dir}/documents.parquet")
+    fs = root.getFileSystem(hconf)
+    if fs.getFileStatus(root).isDirectory():
+        uris = [
+            s.getPath().toString()
+            for s in fs.listStatus(root)
+            if s.isFile() and s.getPath().getName().endswith(".parquet")
+        ]
+    else:
+        uris = [root.toString()]
+    docs = spark.read.parquet(*sorted(uris))
+    return wc.word_count(docs, "text")

@@ -640,3 +640,53 @@ def q_cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = updates.unionByName(deletes).unionByName(inserts)
     return rel.merge_into(base, changes, "o_orderkey")
+
+
+@query(
+    "wap_read_published",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_custs
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+)
+def q_wap_read_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish + time travel with a driver-checkable READ
+    path (sources/tables.write_audit_publish / read_published): publish
+    generation 0 (the 'F'-status rollup), then generation 1 (the
+    'O'-status rollup — where _CURRENT now points), then time-travel
+    back to the PINNED generation 0. The oracle is the gen-0 rollup,
+    so a reader that followed _CURRENT instead of the requested
+    generation — or a publish that mutated a prior generation — hash-
+    mismatches. Both publishes run the audit gate against the STAGED
+    parquet (nonempty + no null keys), exercising the full WAP cycle
+    in one query. Scale: publish is one metadata flip regardless of
+    data size; generations are immutable so the pinned read is stable.
+    """
+    import tempfile
+
+    from mock_map_reduce_spark.sources import tables as tb
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def rollup(status: str) -> DataFrame:
+        return (
+            orders.filter(F.col("o_orderstatus") == status)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.countDistinct("o_custkey").alias("n_custs"),
+            )
+        )
+
+    audits = [
+        ("nonempty", lambda d: d.count() > 0),
+        (
+            "no_null_keys",
+            lambda d: d.filter(F.col("o_orderpriority").isNull()).count() == 0,
+        ),
+    ]
+    table_dir = tempfile.mkdtemp(prefix="wap_orders_")
+    tb.write_audit_publish(rollup("F"), table_dir, audits)  # gen 0 — pinned
+    tb.write_audit_publish(rollup("O"), table_dir, audits)  # gen 1 — _CURRENT
+    return tb.read_published(spark, table_dir, gen=0)
