@@ -100,9 +100,9 @@ PRIORITY: list[str] = [
     "orders_open_backlog_daily",
     "union_schema_evolution",
     "pysource_synthdocs_pruned",
+    "sql_recursive_hierarchy",
     "files_manifest_orders",
     "serde_roundtrip_orders",
-    "sql_recursive_hierarchy",
     "analyze_orders_profile",
     "diag_join_key_skew",
     "pagination_keyset_orders",

@@ -24,21 +24,30 @@ def test_priority_prefix_is_front_of_registry():
 
 
 def test_driver_sample_covers_unconfirmed_families():
-    """Every family flagged driver-unconfirmed in VERDICT r4 has at least
-    one representative inside the sampled first-50 prefix."""
+    """Every family still lacking a green driver row after round 5 has
+    at least one representative inside the sampled first-50 prefix
+    (the round-6 rotation: capstones, streaming twins, dedup tails,
+    retrieval, graph/stats, lifecycle, plus the two new round-6
+    queries)."""
     first50 = set(list(registry.QUERIES)[:50])
     for representative in (
-        "similarity_topk_bruteforce",
-        "similarity_pq_adc_topk",
-        "streaming_tumbling_counts",
-        "session_windows_builtin",
-        "asof_join_purchases",
-        "window_ranking_variants",
-        "sql_q12_priority_lines",
-        "sql_q22_global_sales_opportunity",
-        "approx_quantiles",
-        "join_salted_skew",
-        "union_tagged",
+        "wap_read_published",
+        "hdfs_uri_scan_words",
+        "pipeline_pretraining_end_to_end",
+        "text_bpe_train_merges",
+        "ml_train_hinge_classifier",
+        "embedding_pca_pc1",
+        "cdc_merge_orders",
+        "similarity_ann_ivf_pq",
+        "streaming_cdc_upsert",
+        "dedup_minhash_jaccard_estimate",
+        "curation_weighted_sample",
+        "multimodal_video_frames",
+        "text_bm25_topk",
+        "graph_pagerank",
+        "sketch_count_min",
+        "scd2_point_in_time",
+        "sql_recursive_hierarchy",
     ):
         assert representative in first50, representative
 
