@@ -158,3 +158,38 @@ def test_ppm_stream_roundtrip_any_frames(dims_list, data):
         frames.append((w, h, rgb))
         payload += mm.encode_ppm(w, h, rgb, comment=f"f{i}" if i % 2 else None)
     assert mm.decode_ppm_stream(payload) == frames
+
+
+@given(
+    st.dictionaries(st.integers(0, 12), st.text("ab", max_size=2), max_size=8),
+    st.dictionaries(
+        st.integers(0, 12),
+        st.tuples(st.sampled_from("UID"), st.text("xy", max_size=2)),
+        max_size=8,
+    ),
+)
+@PROP_SETTINGS
+def test_merge_into_matches_dict_model(spark, base_map, feed_map):
+    """merge_into == the dict model of MERGE with upsert-on-insert:
+    U and I both write the key's value, D removes it — one row per key
+    afterwards, never a duplicate (the compacted-CDC apply contract)."""
+    from pyspark.sql import Row
+
+    from mock_map_reduce_spark.operators.relational import merge_into
+
+    base = spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in base_map.items()], "k int, v string"
+    )
+    changes = spark.createDataFrame(
+        [Row(k=k, v=v, op=op) for k, (op, v) in feed_map.items()],
+        "k int, v string, op string",
+    )
+    expect = dict(base_map)
+    for k, (op, v) in feed_map.items():
+        if op == "D":
+            expect.pop(k, None)
+        else:
+            expect[k] = v
+    rows = merge_into(base, changes, "k").collect()
+    assert len(rows) == len({r.k for r in rows})  # one row per key
+    assert {r.k: r.v for r in rows} == expect
