@@ -658,3 +658,52 @@ def q_dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         F.col("best.quality_score").alias("keep_quality"),
     )
+
+
+SPAN_W = 8
+SPAN_MAX_OCC = 64
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+{SPAN_W - 1}], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(w) - {SPAN_W} + 2)) AS u(i)
+  WHERE len(w) >= {SPAN_W}
+),
+occ AS (SELECT gram, COUNT(*) AS n FROM grams GROUP BY 1),
+dup AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN occ USING (gram)
+  WHERE occ.n >= 2 AND occ.n <= {SPAN_MAX_OCC}
+),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w2 IS NULL OR pos > lag(pos) OVER w2 + {SPAN_W} THEN 1 ELSE 0 END AS new
+  FROM dup WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+),
+spans AS (
+  SELECT doc_id, pos, SUM(new) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {SPAN_W - 1} AS span_end,
+       MAX(pos) + {SPAN_W} - MIN(pos) AS span_words
+FROM spans GROUP BY doc_id, sid
+""",
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (operators/dedup.duplicate_spans):
+    per doc, every maximal word range all of whose {SPAN_W}-word windows
+    occur >= 2 times corpus-wide — the Lee et al. 2022 ExactSubstr dedup
+    re-expressed as a positional w-gram groupBy + per-doc span merge, so
+    the "remove the repeated substring, keep the rest of the doc"
+    curation move has an engine primitive. Integer word positions only —
+    hash-exact. Stop-gram cap (occurrences > {SPAN_MAX_OCC}) mirrors the
+    oracle and bounds any viral boilerplate window's reducer."""
+    return dd.duplicate_spans(
+        load_table(spark, sf_dir, "documents"), w=SPAN_W, max_occ=SPAN_MAX_OCC
+    )

@@ -701,3 +701,80 @@ def incremental_lsh_candidates(
         .select("id_new", "id_old")
         .distinct()
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_occ: int = 64,
+) -> DataFrame:
+    """Exact-substring duplicate spans: per doc, the maximal word
+    ranges whose every w-gram window occurs at least twice anywhere in
+    the corpus (including elsewhere in the same doc) — the
+    suffix-array "exact substring" dedup of Lee et al. 2022
+    (Deduplicating Training Data Makes Language Models Better),
+    re-expressed over fixed-width token windows so it distributes:
+    (doc_id, span_start, span_end, span_words) on word positions.
+
+    Plan: ONE positional w-gram explode rides the scan (codegen
+    transform over the materialized token array, ~n_words rows per
+    doc); a groupBy(gram) collects each gram's occurrence list —
+    occurrence lists above ``max_occ`` are stop-grams (viral
+    boilerplate; dropped like ngram_jaccard's MAX_DOC_FREQ cap, and
+    mirrored in the oracle) so no single hot window can fan out a
+    reducer; surviving duplicated positions re-explode (O(dup
+    positions), never pairs) and per-doc span merging is one window
+    pass — two exchanges total, payloads O(corpus positions),
+    independent of pair counts. Windows at positions p, q merge when
+    q <= p + w (their word ranges overlap or touch), so each output
+    row is a maximal duplicated range.
+    """
+    from pyspark.sql.window import Window
+
+    toks = _spread(
+        docs.select(F.col(id_col), F.col(text_col)), heavy=True
+    ).select(F.col(id_col), _norm_tokens(text_col).alias("__toks"))
+    idx = F.when(
+        F.size("__toks") >= w, F.sequence(F.lit(0), F.size("__toks") - w)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, w)).alias(
+                        "gram"
+                    ),
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, "g.pos", "g.gram")
+    occ = grams.groupBy("gram").agg(
+        F.collect_list(F.struct(F.col(id_col), F.col("pos"))).alias("occ")
+    )
+    dup = (
+        occ.filter((F.size("occ") >= 2) & (F.size("occ") <= max_occ))
+        .select(F.explode("occ").alias("o"))
+        .select(F.col(f"o.{id_col}").alias(id_col), F.col("o.pos").alias("pos"))
+    )
+    ws = Window.partitionBy(id_col).orderBy("pos")
+    marked = dup.withColumn(
+        "new",
+        F.when(
+            F.lag("pos").over(ws).isNull()
+            | (F.col("pos") > F.lag("pos").over(ws) + w),
+            1,
+        ).otherwise(0),
+    )
+    spans = marked.withColumn(
+        "sid", F.sum("new").over(ws.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return spans.groupBy(id_col, "sid").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + F.lit(w - 1)).cast("long").alias("span_end"),
+        (F.max("pos") + F.lit(w) - F.min("pos")).cast("long").alias("span_words"),
+    ).select(id_col, "span_start", "span_end", "span_words")

@@ -47,6 +47,7 @@ PRIORITY: list[str] = [
     # round-6 additions (need a first driver row)
     "wap_read_published",
     "hdfs_uri_scan_words",
+    "dedup_substring_spans",
     # capstone pipelines / iterative trainers (VERDICT r5 #2 front-loads)
     "pipeline_pretraining_end_to_end",
     "text_bpe_train_merges",
@@ -99,8 +100,8 @@ PRIORITY: list[str] = [
     "dq_orders_constraints",
     "orders_open_backlog_daily",
     "union_schema_evolution",
-    "pysource_synthdocs_pruned",
     "sql_recursive_hierarchy",
+    "pysource_synthdocs_pruned",
     "files_manifest_orders",
     "serde_roundtrip_orders",
     "analyze_orders_profile",

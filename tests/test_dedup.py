@@ -271,3 +271,35 @@ def test_ngram_containment_catches_embedded_subset(spark):
     assert (1, 2) not in jac
     # unrelated short doc does not reach the bar against doc 1
     assert (1, 3) not in pairs
+
+
+def test_duplicate_spans_planted_and_merged(spark):
+    """ExactSubstr-style spans on a hand corpus: a 10-word block shared
+    by docs 1 and 2 is found in BOTH with exact word positions; an
+    internal repeat inside one doc counts (the corpus occurrence bar
+    is >= 2 occurrences, not >= 2 docs); unique text yields no spans."""
+    blk = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq1 = "one two three four five six seven eight nine ten eleven twelve"
+    uniq2 = "red orange yellow green blue indigo violet cyan magenta black"
+    docs = spark.createDataFrame(
+        [
+            # doc 1: unique prefix (12 words) then the shared block
+            Row(doc_id=1, text=uniq1 + " " + blk),
+            # doc 2: the shared block first, then unique tail
+            Row(doc_id=2, text=blk + " " + uniq2),
+            # doc 3: internal repetition only — block twice back-to-back
+            Row(doc_id=3, text=blk + " " + blk),
+            # doc 4: all-unique control
+            Row(doc_id=4, text="aa bb cc dd ee ff gg hh ii jj kk ll mm nn"),
+        ]
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.span_words)
+        for r in dd.duplicate_spans(docs, w=8).collect()
+    }
+    assert spans[1] == (12, 21, 10)  # the block, after the 12-word prefix
+    assert spans[2] == (0, 9, 10)
+    assert spans[3] == (0, 19, 20)  # back-to-back repeat merges into one span
+    assert 4 not in spans
+    # every doc contributes at most this one maximal span here
+    assert len(dd.duplicate_spans(docs, w=8).collect()) == 3
