@@ -744,11 +744,14 @@ _HINGE_SCALE = 1024
 _HINGE_LABEL_SQL = "CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END"
 
 
-def _hinge_oracle(patterns: list[str], n_steps: int, scale: int) -> str:
-    """DuckDB replica of train_hinge_classifier: integer feature
-    extraction (replace-length occurrence counts) and n_steps of the
-    all-integer margin-perceptron update, as chained MATERIALIZED
-    1-row weight CTEs."""
+def _hinge_chain(patterns: list[str], n_steps: int, scale: int) -> tuple[str, str, int]:
+    """Shared DuckDB replica of train_hinge_classifier's training loop:
+    integer feature extraction (replace-length occurrence counts) and
+    n_steps of the all-integer margin-perceptron update, as chained
+    MATERIALIZED 1-row weight CTEs. Returns (cte_prefix,
+    final-weights dot expression over f's columns, k) so the trainer
+    and scorer oracles share one replica; f carries doc_id for the
+    scorer (training sums are unaffected)."""
     k = len(patterns) + 2
     feat_exprs = [
         "1 AS x0",
@@ -762,9 +765,9 @@ def _hinge_oracle(patterns: list[str], n_steps: int, scale: int) -> str:
     ]
     parts = [
         f"""WITH f AS MATERIALIZED (
-  SELECT {_HINGE_LABEL_SQL} AS y,
+  SELECT doc_id, {_HINGE_LABEL_SQL} AS y,
          {", ".join(feat_exprs)}
-  FROM (SELECT n_chars, ' ' || lower(text) || ' ' AS s FROM documents)
+  FROM (SELECT doc_id, n_chars, ' ' || lower(text) || ' ' AS s FROM documents)
 ),
 w0 AS MATERIALIZED (SELECT {", ".join(f"CAST(0 AS BIGINT) AS w{i}" for i in range(k))})"""
     ]
@@ -780,12 +783,17 @@ w0 AS MATERIALIZED (SELECT {", ".join(f"CAST(0 AS BIGINT) AS w{i}" for i in rang
 w{t} AS MATERIALIZED (SELECT {upd} FROM w{t - 1} wp, g{t} g)"""
         )
     dotn = " + ".join(f"(SELECT w{i} FROM w{n_steps}) * x{i}" for i in range(k))
+    return ",\n".join(parts), dotn, k
+
+
+def _hinge_oracle(patterns: list[str], n_steps: int, scale: int) -> str:
+    chain, dotn, k = _hinge_chain(patterns, n_steps, scale)
     finals = "\nUNION ALL\n".join(
         f"SELECT 'w_{i}' AS name, CAST(w{i} AS BIGINT) AS value FROM w{n_steps}"
         for i in range(k)
     )
     return (
-        ",\n".join(parts)
+        chain
         + "\n"
         + finals
         + f"""
@@ -793,6 +801,17 @@ UNION ALL
 SELECT '__n_train', CAST(COUNT(*) AS BIGINT) FROM f
 UNION ALL
 SELECT '__n_correct', CAST(COALESCE(SUM(CASE WHEN y * ({dotn}) > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM f"""
+    )
+
+
+def _hinge_score_oracle(patterns: list[str], n_steps: int, scale: int) -> str:
+    chain, dotn, _ = _hinge_chain(patterns, n_steps, scale)
+    return (
+        chain
+        + f"""
+SELECT doc_id, CAST({dotn} AS BIGINT) AS margin,
+       CAST(CASE WHEN ({dotn}) > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+FROM f"""
     )
 
 
@@ -819,9 +838,18 @@ def q_ml_train_hinge_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence is proven on a planted set. Occurrence counts use the
     replace-length trick: identical non-overlapping semantics in both
     engines, no regex."""
-    docs = load_table(spark, sf_dir, "documents")
+    feats = _hinge_feats(load_table(spark, sf_dir, "documents"))
+    return cl.train_hinge_classifier(
+        feats, n_features=len(_HINGE_PATTERNS) + 2, n_steps=_HINGE_STEPS, scale=_HINGE_SCALE
+    )
+
+
+def _hinge_feats(docs: DataFrame, with_id: bool = False) -> DataFrame:
+    """Shared integer count-feature extraction for the hinge trainer
+    and scorer (replace-length occurrence counts — mirrored in the
+    oracle's _hinge_chain)."""
     s = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
-    cols = [
+    cols = ([F.col("doc_id")] if with_id else []) + [
         F.when(F.col("n_chars") >= 300, 1).otherwise(-1).cast("long").alias("y"),
         F.lit(1).cast("long").alias("x0"),
         ((F.length(s) - F.length(F.replace(s, F.lit(" "), F.lit("")))) - F.lit(46))
@@ -837,7 +865,36 @@ def q_ml_train_hinge_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias(f"x{i + 2}")
         )
-    feats = docs.select(*cols)
-    return cl.train_hinge_classifier(
-        feats, n_features=len(_HINGE_PATTERNS) + 2, n_steps=_HINGE_STEPS, scale=_HINGE_SCALE
+    return docs.select(*cols)
+
+
+@query(
+    "ml_score_quality",
+    oracle=_hinge_score_oracle(_HINGE_PATTERNS, _HINGE_STEPS, _HINGE_SCALE),
+)
+def q_ml_score_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier APPLY — the other half of ml_train_hinge_classifier:
+    train the 8-step integer hinge model on the engine, then score
+    EVERY document with the learned weights — (doc_id, margin, pred),
+    the quality-filter inference pass a pretraining pipeline runs over
+    the whole corpus before the floor/sample stages. Margins are pure
+    int64 dot products, so the per-document predictions hash-match the
+    oracle's replayed training bit-for-bit.
+
+    Scale: training is k-vector driver state + one corpus pass per
+    step (trainer contract); scoring is ONE more corpus pass with the
+    k weights as literals in the task closures — no join, no shuffle;
+    the scan's projection carries only the count features."""
+    k = len(_HINGE_PATTERNS) + 2
+    docs = load_table(spark, sf_dir, "documents")
+    w = cl.train_hinge_classifier(
+        _hinge_feats(docs), n_features=k, n_steps=_HINGE_STEPS, scale=_HINGE_SCALE
+    )
+    gw = {r.name: int(r.value) for r in w.collect()}
+    feats = _hinge_feats(docs, with_id=True)
+    margin = sum(F.col(f"x{i}") * F.lit(gw[f"w_{i}"]) for i in range(k))
+    return feats.select(
+        "doc_id",
+        margin.cast("long").alias("margin"),
+        F.when(margin > 0, 1).otherwise(-1).cast("long").alias("pred"),
     )

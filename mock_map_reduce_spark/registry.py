@@ -53,8 +53,10 @@ PRIORITY: list[str] = [
     "text_bpe_train_merges",
     "text_bpe_tokenize",
     "ml_train_hinge_classifier",
+    "ml_score_quality",
     "embedding_pca_pc1",
     "cdc_merge_orders",
+    "sql_recursive_hierarchy",
     "similarity_ann_ivf_pq",
     "similarity_ann_ivf_multiprobe",
     "similarity_kmeans_pp",
@@ -100,7 +102,6 @@ PRIORITY: list[str] = [
     "dq_orders_constraints",
     "orders_open_backlog_daily",
     "union_schema_evolution",
-    "sql_recursive_hierarchy",
     "pysource_synthdocs_pruned",
     "files_manifest_orders",
     "serde_roundtrip_orders",
