@@ -232,6 +232,7 @@ def test_heavy_catalog_queries_spread_when_under_parallel(q):
     for name in (
         "dedup_minhash_signatures",
         "dedup_simhash",
+        "dedup_substring_spans",
         "similarity_topk_bruteforce",
         "similarity_pq_codes",
         "multimodal_byte_features",
