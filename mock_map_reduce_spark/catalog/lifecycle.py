@@ -690,3 +690,40 @@ def q_wap_read_published(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb.write_audit_publish(rollup("F"), table_dir, audits)  # gen 0 — pinned
     tb.write_audit_publish(rollup("O"), table_dir, audits)  # gen 1 — _CURRENT
     return tb.read_published(spark, table_dir, gen=0)
+
+
+@query(
+    "serde_xml_file_roundtrip",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey % 101 = 0
+""",
+)
+def q_serde_xml_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-level XML interchange round trip (Spark 4's native `xml`
+    source — sources/tables.read_xml/write_xml): a deterministic
+    orders subset writes to element-per-row XML and reads back with an
+    explicit schema; the oracle is the identity on the pristine
+    columns, so any writer escaping, reader coercion, or
+    double-formatting defect fails the hash (Java's shortest-roundtrip
+    double printing must survive the text trip bit-for-bit).
+    serde_roundtrip_orders covers the ROW-level from_xml function;
+    this covers the format as a source/sink."""
+    import os
+    import tempfile
+
+    from mock_map_reduce_spark.sources import tables as tb
+
+    sub = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 101 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    d = os.path.join(tempfile.mkdtemp(prefix="xml_rt_"), "orders_xml")
+    tb.write_xml(sub, d, row_tag="order")
+    return tb.read_xml(
+        spark,
+        d,
+        row_tag="order",
+        schema="o_orderkey bigint, o_orderstatus string, o_totalprice double",
+    )

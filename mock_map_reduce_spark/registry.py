@@ -48,6 +48,7 @@ PRIORITY: list[str] = [
     "wap_read_published",
     "hdfs_uri_scan_words",
     "dedup_substring_spans",
+    "serde_xml_file_roundtrip",
     # capstone pipelines / iterative trainers (VERDICT r5 #2 front-loads)
     "pipeline_pretraining_end_to_end",
     "text_bpe_train_merges",

@@ -15,11 +15,13 @@ from mock_map_reduce_spark.sources.tables import (
     read_json,
     read_orc,
     read_text,
+    read_xml,
     register_views,
     write_csv,
     write_json,
     write_orc,
     write_parquet,
+    write_xml,
 )
 
 __all__ = [
@@ -30,9 +32,11 @@ __all__ = [
     "read_json",
     "read_orc",
     "read_text",
+    "read_xml",
     "register_views",
     "write_csv",
     "write_json",
     "write_orc",
     "write_parquet",
+    "write_xml",
 ]

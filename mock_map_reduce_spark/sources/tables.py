@@ -282,3 +282,28 @@ def read_published(
         with open(os.path.join(table_dir, "_CURRENT")) as f:
             name = f.read().strip()
     return spark.read.parquet(os.path.join(table_dir, name))
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: str | None = None,
+) -> DataFrame:
+    """XML scan (Spark 4 native `xml` source — the spark-xml package
+    folded into core). Pass the DDL ``schema`` in production: like CSV,
+    inference costs an extra full read. Malformed rows follow the same
+    PERMISSIVE contract as the other text formats."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    """XML sink (element-per-row); pairs with read_xml for the
+    interchange-format round trip the serde functions cover at the
+    row level."""
+    df.write.format("xml").option("rowTag", row_tag).mode(mode).save(path)

@@ -182,3 +182,21 @@ def test_write_audit_publish_lifecycle(spark, tmp_path):
     assert [(r.k, r.v) for r in read_published(spark, table).collect()] == [(2, "b")]
     # time travel: generation 0 stays immutable and readable
     assert [(r.k, r.v) for r in read_published(spark, table, gen=0).collect()] == [(1, "a")]
+
+
+def test_xml_roundtrip_with_escaping(spark, tmp_path):
+    """Native XML source/sink round trip, including markup characters
+    that must be entity-escaped on write and restored on read."""
+    from pyspark.sql import Row
+
+    from mock_map_reduce_spark.sources import read_xml, write_xml
+
+    rows = [
+        Row(k=1, s="plain"),
+        Row(k=2, s="a < b & c > d"),
+        Row(k=3, s='quote " apos \' end'),
+    ]
+    d = str(tmp_path / "xmlrt")
+    write_xml(spark.createDataFrame(rows), d, row_tag="rec")
+    back = read_xml(spark, d, row_tag="rec", schema="k bigint, s string")
+    assert sorted((r.k, r.s) for r in back.collect()) == [(r.k, r.s) for r in rows]
