@@ -483,3 +483,97 @@ def q_diag_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("skew_ratio"),
         "heaviest_key",
     )
+
+
+_KMV_K = 64
+_KMV_SALTS = 8
+_KMV_M = 16**15  # hash domain: 15 hex chars = 2^60
+# KMV standard error is 1/sqrt(K-1); gate at 5 sigma like the HLL entries.
+_KMV_BOUND = 5.0 / (_KMV_K - 1) ** 0.5
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle=f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+r AS (SELECT event_type, h, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM d),
+s AS (
+  SELECT event_type,
+         SUM(CASE WHEN rn <= {_KMV_K} THEN 1 ELSE 0 END) AS n_kept,
+         MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS kth
+  FROM r GROUP BY 1
+),
+x AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct FROM events GROUP BY 1),
+e AS (
+  SELECT s.event_type, CAST(s.n_kept AS BIGINT) AS n_kept,
+         CASE WHEN s.n_kept < {_KMV_K} THEN CAST(s.n_kept AS DOUBLE)
+              ELSE {_KMV_K - 1}.0 * CAST({_KMV_M} AS DOUBLE) / CAST(s.kth AS DOUBLE) END AS est_distinct,
+         CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+  FROM s JOIN x USING (event_type)
+)
+SELECT event_type, n_kept, est_distinct, exact_distinct,
+       abs(est_distinct / CAST(exact_distinct AS DOUBLE) - 1.0) <= {_KMV_BOUND!r} AS within_bound
+FROM e
+""",
+)
+def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al.) — the
+    mergeable distinct-count summary that, unlike HLL's opaque binary
+    state, is ENGINE-EXACT here: md5-derived 60-bit hashes make the
+    kept-hash set, the estimator (K-1)/h_K, and even the 5-sigma
+    accuracy flag bit-identical in DuckDB, so the sketch THEOREM is in
+    the hash gate (the HLL entries can only accuracy-band their
+    estimates). Distinct users per event_type, K=64.
+
+    Scale/mergeability: after the (key, hash) distinct, hashes salt
+    into {_KMV_SALTS} groups whose per-salt K-smallest lists are
+    BOUNDED partials (K longs each — the sketch property); the final
+    merge re-sorts K x {_KMV_SALTS} values per key. K smallest of the
+    union == K smallest over per-salt K-smallest, so the two-level
+    plan equals the oracle's direct global ranking — the same
+    partial/merge algebra as the HLL and variance-state entries, with
+    ~K longs per shard travelling instead of every distinct value.
+    Small regime: under K distinct, the sketch IS the exact count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    d = ev.select("event_type", h.alias("h")).distinct()
+    partial = d.groupBy(
+        "event_type", F.pmod(F.col("h"), F.lit(_KMV_SALTS)).alias("salt")
+    ).agg(F.slice(F.sort_array(F.collect_list("h")), 1, _KMV_K).alias("hs"))
+    merged = partial.groupBy("event_type").agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("hs"))), 1, _KMV_K).alias("hs")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = F.when(
+        F.size("hs") < _KMV_K, F.size("hs").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1))
+        * F.lit(float(_KMV_M))
+        / F.element_at("hs", _KMV_K).cast("double")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.size("hs").cast("long").alias("n_kept"),
+            est.alias("est_distinct"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        )
+        .withColumn(
+            "within_bound",
+            F.abs(
+                F.col("est_distinct") / F.col("exact_distinct").cast("double")
+                - F.lit(1.0)
+            )
+            <= F.lit(_KMV_BOUND),
+        )
+    )

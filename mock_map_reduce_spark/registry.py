@@ -91,6 +91,7 @@ PRIORITY: list[str] = [
     "ab_test_two_proportion",
     "stat_chi_square_independence",
     "sketch_count_min",
+    "sketch_kmv_distinct",
     "basket_brand_lift",
     "agg_mad_robust",
     "agg_regression_by_type",

@@ -70,3 +70,45 @@ def test_diag_join_key_skew_flags_planted_hot_key(spark, tmp_path):
     out = registry.QUERIES["diag_join_key_skew"](spark, str(tmp_path)).collect()[0]
     assert (out.n_rows, out.n_keys, out.max_per_key, out.heaviest_key) == (70, 11, 60, 7)
     assert abs(out.skew_ratio - 60 * 11 / 70) < 1e-6
+
+
+def test_kmv_estimator_regime_and_accuracy(spark, sf_dir):
+    """Both KMV regimes hold: above K distinct users the sketch keeps
+    exactly K hashes and the (K-1)/h_K estimate passes the 5-sigma
+    flag; at or below K the kept set IS the hash set and the estimate
+    equals the exact count (sf0.001 exercises both across types)."""
+    rows = registry.QUERIES["sketch_kmv_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.within_bound, (r.est_distinct, r.exact_distinct)
+        if r.exact_distinct > 64:
+            assert r.n_kept == 64
+            assert abs(r.est_distinct - r.n_kept) > 1  # a real estimate
+        else:
+            assert r.n_kept == r.exact_distinct
+            assert r.est_distinct == float(r.exact_distinct)
+
+
+def test_kmv_exact_regime_below_k(spark):
+    """Under K distinct values the kept set IS the whole hash set and
+    the sketch returns the exact count — pinned on a hand corpus run
+    through the same salted two-level merge."""
+    from pyspark.sql import Row
+
+    from mock_map_reduce_spark.catalog.stats import _KMV_K, _KMV_SALTS
+
+    ev = spark.createDataFrame(
+        [Row(event_type="t", user_id=i % 10) for i in range(100)]
+    )
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    d = ev.select("event_type", h.alias("h")).distinct()
+    partial = d.groupBy(
+        "event_type", F.pmod(F.col("h"), F.lit(_KMV_SALTS)).alias("salt")
+    ).agg(F.slice(F.sort_array(F.collect_list("h")), 1, _KMV_K).alias("hs"))
+    merged = partial.groupBy("event_type").agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("hs"))), 1, _KMV_K).alias("hs")
+    )
+    [row] = merged.collect()
+    assert len(row.hs) == 10  # all 10 distinct hashes kept -> exact regime
