@@ -577,3 +577,131 @@ def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(_KMV_BOUND),
         )
     )
+
+
+def _kmv_global_hashes(df: DataFrame, value_col: str) -> DataFrame:
+    """One-row (hs: array<long>) global KMV sketch of a value column —
+    the salted bounded-partial build from sketch_kmv_distinct without
+    the grouping key."""
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    d = df.select(h.alias("h")).distinct()
+    partial = d.groupBy(F.pmod(F.col("h"), F.lit(_KMV_SALTS)).alias("salt")).agg(
+        F.slice(F.sort_array(F.collect_list("h")), 1, _KMV_K).alias("hs")
+    )
+    return partial.agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("hs"))), 1, _KMV_K).alias("hs")
+    )
+
+
+@query(
+    "sketch_kmv_jaccard",
+    oracle=f"""
+WITH ah AS (
+  SELECT DISTINCT CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+bh AS (
+  SELECT DISTINCT CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM orders WHERE o_orderpriority = '2-HIGH'
+),
+atop AS (SELECT h FROM ah ORDER BY h LIMIT {_KMV_K}),
+btop AS (SELECT h FROM bh ORDER BY h LIMIT {_KMV_K}),
+utop AS (SELECT h FROM (SELECT h FROM atop UNION SELECT h FROM btop) ORDER BY h LIMIT {_KMV_K}),
+u AS (SELECT COUNT(*) AS n_u, MAX(h) AS kth FROM utop),
+ki AS (
+  SELECT COUNT(*) AS k_int FROM utop
+  WHERE h IN (SELECT h FROM atop) AND h IN (SELECT h FROM btop)
+),
+x AS (
+  SELECT SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS n_i
+  FROM (
+    SELECT o_custkey, bool_or(o_orderpriority = '1-URGENT') AS in_a,
+           bool_or(o_orderpriority = '2-HIGH') AS in_b
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_custkey
+  )
+),
+e AS (
+  SELECT CAST(u.n_u AS BIGINT) AS n_union_kept,
+         CASE WHEN u.n_u < {_KMV_K} THEN CAST(u.n_u AS DOUBLE)
+              ELSE {_KMV_K - 1}.0 * CAST({_KMV_M} AS DOUBLE) / CAST(u.kth AS DOUBLE) END AS union_est,
+         CAST(ki.k_int AS DOUBLE) / {_KMV_K}.0 AS jaccard_est,
+         CAST(x.n_a AS BIGINT) AS n_a, CAST(x.n_b AS BIGINT) AS n_b,
+         CAST(x.n_i AS DOUBLE) / (x.n_a + x.n_b - x.n_i) AS jaccard_exact
+  FROM u, ki, x
+)
+SELECT n_union_kept, union_est, jaccard_est, jaccard_est * union_est AS intersection_est,
+       n_a, n_b, jaccard_exact
+FROM e
+""",
+)
+def q_sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV SET OPERATIONS — the capability HLL lacks: from two K=64
+    sketches alone, estimate the union, Jaccard, and intersection of
+    the urgent-priority vs high-priority customer sets (Beyer et al.'s
+    KMV synopses). jaccard_est = |A∩B∩topK(A∪B)| / K over the merged
+    sketch, intersection_est = jaccard_est x union_est — every value,
+    including the exact Jaccard it sits next to, bit-identical in the
+    DuckDB twin because the sketch is engine-exact md5 arithmetic.
+
+    Scale: both sketches build with the bounded salted partials of
+    sketch_kmv_distinct (~K longs per shard); the set algebra then
+    runs on two K-length arrays in a 1-row x 1-row combine — constant
+    work regardless of corpus size, and sketches of shards stored as
+    arrays union into corpus sketches without touching raw keys.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    a = _kmv_global_hashes(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT"), "o_custkey"
+    ).select(F.col("hs").alias("a_hs"))
+    b = _kmv_global_hashes(
+        orders.filter(F.col("o_orderpriority") == "2-HIGH"), "o_custkey"
+    ).select(F.col("hs").alias("b_hs"))
+    exact = (
+        orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderpriority") == "1-URGENT").alias("in_a"),
+            F.max(F.col("o_orderpriority") == "2-HIGH").alias("in_b"),
+        )
+        .agg(
+            F.sum(F.col("in_a").cast("long")).alias("n_a"),
+            F.sum(F.col("in_b").cast("long")).alias("n_b"),
+            F.sum((F.col("in_a") & F.col("in_b")).cast("long")).alias("n_i"),
+        )
+    )
+    utop = F.slice(
+        F.sort_array(F.array_distinct(F.concat("a_hs", "b_hs"))), 1, _KMV_K
+    )
+    row = a.crossJoin(b).crossJoin(exact).select(
+        utop.alias("utop"), "a_hs", "b_hs", "n_a", "n_b", "n_i"
+    )
+    union_est = F.when(
+        F.size("utop") < _KMV_K, F.size("utop").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1))
+        * F.lit(float(_KMV_M))
+        / F.element_at("utop", _KMV_K).cast("double")
+    )
+    jac_est = (
+        F.size(F.array_intersect(F.array_intersect("utop", "a_hs"), "b_hs")).cast(
+            "double"
+        )
+        / F.lit(float(_KMV_K))
+    )
+    return row.select(
+        F.size("utop").cast("long").alias("n_union_kept"),
+        union_est.alias("union_est"),
+        jac_est.alias("jaccard_est"),
+        (jac_est * union_est).alias("intersection_est"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (
+            F.col("n_i").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_i")).cast("double")
+        ).alias("jaccard_exact"),
+    )

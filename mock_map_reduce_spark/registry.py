@@ -92,6 +92,7 @@ PRIORITY: list[str] = [
     "stat_chi_square_independence",
     "sketch_count_min",
     "sketch_kmv_distinct",
+    "sketch_kmv_jaccard",
     "basket_brand_lift",
     "agg_mad_robust",
     "agg_regression_by_type",

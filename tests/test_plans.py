@@ -144,6 +144,7 @@ _BOUNDED_BNLJ = {
     "join_bloom_pruned",  # 1-row Bloom-bitmap crossJoin broadcast onto the fact scan
     "basket_brand_lift",  # 1-row basket-count crossJoin broadcast onto the rule table
     "diag_join_key_skew",  # 1-row summary × 1-row heaviest-key crossJoin
+    "sketch_kmv_jaccard",  # 1-row sketch × 1-row sketch × 1-row exact-count combine
 }
 
 
