@@ -213,11 +213,12 @@ def q_dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFr
     co-occurrence (the oracle needs no mirror: dropped pairs were
     never joined).
     """
-    sigs = dd.minhash_signatures(
-        load_table(spark, sf_dir, "documents"), NUM_HASHES, NGRAM, use_md5=True
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    # Materialize the signature pipeline ONCE; the candidate generation
+    # reuses it instead of re-running shingle+md5 from the raw corpus.
+    sigs = dd.minhash_signatures(docs, NUM_HASHES, NGRAM, use_md5=True).localCheckpoint()
     cand = dd.lsh_candidate_pairs(
-        load_table(spark, sf_dir, "documents"), NUM_HASHES, BANDS, NGRAM, use_md5=True
+        docs, NUM_HASHES, BANDS, NGRAM, use_md5=True, signatures=sigs
     ).localCheckpoint()
     cand_ids = (
         cand.select(F.col("id_a").alias("doc_id"))

@@ -217,12 +217,16 @@ def lsh_candidate_pairs(
     use_md5: bool = True,
     max_bucket_size: int | None = None,
     via: str = "group",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH bucket.
 
     Pairs are generated per-bucket — never a cross join.
     ``max_bucket_size`` drops degenerate buckets before any pair is
     emitted (skew guard for boilerplate-heavy corpora).
+    ``signatures`` lets a caller that already materialized
+    minhash_signatures (e.g. for the estimator query) reuse it instead
+    of re-running the shingle+signature pipeline.
 
     Two physical strategies (identical results):
       * ``via="group"`` (default): groupBy(band, bucket) ->
@@ -238,7 +242,11 @@ def lsh_candidate_pairs(
         bucket's id list could not fit in one task (not reachable
         with the cap on).
     """
-    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col, use_md5)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(docs, num_hashes, n, text_col, id_col, use_md5)
+    )
     buckets = lsh_band_buckets(sig, num_hashes, bands, id_col)
     if via == "group":
         grouped = buckets.groupBy("band_idx", "bucket").agg(
