@@ -405,3 +405,53 @@ def q_arrow_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "n", "wsum", F.round("wmean_raw", 6).alias("wmean")
     )
+
+
+@query(
+    "layout_global_row_number",
+    oracle="""
+SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+FROM orders
+""",
+)
+def q_layout_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row numbering WITHOUT the single-reducer global sort —
+    the scalable zipWithIndex idiom. A naive
+    ROW_NUMBER() OVER (ORDER BY key) plans one unpartitioned window:
+    every row funnels through ONE task — the canonical 100 TB
+    scale-killer. Here: range-repartition on the key (contiguous
+    ascending ranges per partition id), count rows per partition (a
+    partition-count-sized driver collect, like kmeans centroids),
+    broadcast the cumulative offsets back, and window only WITHIN each
+    partition id — the sort is partition-local, the exchange is the
+    one range shuffle, and no task ever sees more than its share.
+    Result is deterministic whatever boundaries the range sampler
+    picks, because offsets are computed from the actual counts of the
+    contiguous ranges; the oracle is the naive global ROW_NUMBER.
+    """
+    from pyspark.sql.window import Window
+
+    n_parts = spark.sparkContext.defaultParallelism
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .repartitionByRange(n_parts, "o_orderkey")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()  # pin boundaries: count and number ONE materialization
+    )
+    counts = {
+        r["__pid"]: r["c"]
+        for r in d.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    w = Window.partitionBy("__pid").orderBy("o_orderkey")
+    return d.select(
+        "o_orderkey",
+        (F.row_number().over(w) + off[F.col("__pid")]).cast("long").alias("rn"),
+    )

@@ -49,6 +49,7 @@ PRIORITY: list[str] = [
     "hdfs_uri_scan_words",
     "dedup_substring_spans",
     "serde_xml_file_roundtrip",
+    "layout_global_row_number",
     # capstone pipelines / iterative trainers (VERDICT r5 #2 front-loads)
     "pipeline_pretraining_end_to_end",
     "text_bpe_train_merges",
@@ -94,13 +95,13 @@ PRIORITY: list[str] = [
     "sketch_kmv_distinct",
     "sketch_kmv_jaccard",
     "basket_brand_lift",
+    "scd2_point_in_time",
     "agg_mad_robust",
     "agg_regression_by_type",
     "agg_winsorized_revenue",
     "events_outliers_robust",
     # lifecycle / transactions / layout
     "scd2_user_state",
-    "scd2_point_in_time",
     "snapshot_diff_orders",
     "dq_orders_constraints",
     "orders_open_backlog_daily",

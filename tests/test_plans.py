@@ -346,3 +346,12 @@ def test_point_in_time_single_exchange(q):
 
     plan = executed_plan(q("scd2_point_in_time"))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_global_row_number_avoids_single_partition_sort(q):
+    """The scalable zipWithIndex: the window must stay partitioned by
+    the range-shuffle partition id — a naive global ROW_NUMBER would
+    plan an Exchange SinglePartition (one task sorts everything)."""
+    plan = executed_plan(q("layout_global_row_number"))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
