@@ -593,3 +593,93 @@ def q_embedding_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 6-step iterate — not a converged limit — is the contract)."""
     vecs = load_table(spark, sf_dir, "embeddings")
     return cl.power_iteration_pc1(vecs, n_iter=_PC1_ITERS)
+
+
+def _ann_recall_oracle() -> str:
+    """Both retrieval pipelines (exact brute force + LSH multiprobe) and
+    the recall join, in one statement — every intermediate re-derived
+    deterministically, so the evaluation METRIC itself is in the hash
+    gate."""
+
+    def plane_lit(row: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in row) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN {_DOT.format(a='e', b=plane_lit(p))} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_PLANES8)
+    )
+    probes = ", ".join(
+        ["CAST(qb AS BIGINT)"] + [f"xor(qb, {1 << i})" for i in range(ANN_LSH_BITS)]
+    )
+    return f"""
+WITH {_V},
+bk AS (SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qb FROM bk WHERE vec_id < {N_QUERIES}),
+probes AS (SELECT query_id, qe, unnest([{probes}]) AS bucket FROM q),
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, bk.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {_cos("qe", "bk.e")} DESC, bk.vec_id) AS rank
+    FROM bk JOIN probes USING (bucket)
+    WHERE bk.vec_id <> query_id
+  ) WHERE rank <= {TOP_K}
+),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, v.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {_cos("qe", "v.e")} DESC, v.vec_id) AS rank
+    FROM v CROSS JOIN q
+    WHERE v.vec_id <> query_id
+  ) WHERE rank <= {TOP_K}
+)
+SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN ann.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN ann.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM ex LEFT JOIN ann ON ex.query_id = ann.query_id AND ex.neighbor_id = ann.neighbor_id
+GROUP BY ex.query_id
+"""
+
+
+@query("similarity_ann_recall", oracle=_ann_recall_oracle())
+def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN EVALUATION LOOP as a first-class query: recall@{TOP_K}
+    of the LSH multiprobe index against the exact brute-force top-k,
+    per query — the metric every index-tuning run (nbits, nprobe, K)
+    is judged by, computed on the engine rather than in a notebook.
+    Both pipelines are deterministic (seeded hyperplanes, bit-exact
+    cosine folds, total tie-break), so the metric itself hash-matches
+    the DuckDB twin. NOTE the measured values on THIS corpus are low
+    (0.0-0.3): the synthetic embeddings are near-isotropic, exactly
+    the regime where hyperplane LSH cannot beat chance — an honest
+    harness reports that; pytest separately pins a HIGH recall floor
+    on planted clusters, the regime ANN indexes exist for.
+
+    Scale: the exact side is the O(queries x corpus) baseline you run
+    on a SAMPLE of queries (5 here); the ANN side probes ~corpus/2^b
+    per query; the recall join is on two K-row-per-query tables —
+    evaluation cost is set by the sample size, not the corpus.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    ex = sim.brute_force_topk(emb, queries, k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    ann = sim.ann_topk_lsh(
+        emb, queries, dim=EMB_DIM, k=TOP_K, nbits=ANN_LSH_BITS
+    ).select("query_id", F.col("neighbor_id").alias("ann_id"))
+    j = ex.join(
+        ann,
+        (ex.query_id == ann.query_id) & (ex.neighbor_id == ann.ann_id),
+        "left",
+    ).select(ex.query_id, "neighbor_id", "ann_id")
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(F.col("ann_id").isNotNull().cast("int")).cast("long").alias("n_hit"),
+        (
+            F.sum(F.col("ann_id").isNotNull().cast("int")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("recall"),
+    )

@@ -62,6 +62,7 @@ PRIORITY: list[str] = [
     "similarity_ann_ivf_pq",
     "similarity_ann_ivf_multiprobe",
     "similarity_kmeans_pp",
+    "similarity_ann_recall",
     # streaming twins without a driver row
     "streaming_rollup_minute_to_hour",
     "streaming_scd2",
