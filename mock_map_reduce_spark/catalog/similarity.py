@@ -683,3 +683,85 @@ def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("recall"),
     )
+
+
+KNN_K = 5
+KNN_N_QUERIES = 50
+_V2 = "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings)"
+
+
+@query(
+    "similarity_knn_label_accuracy",
+    oracle=f"""
+WITH {_V2},
+q AS (SELECT vec_id AS qid, e AS qe, label AS true_label FROM v WHERE vec_id < {KNN_N_QUERIES}),
+sc AS (
+  SELECT qid, true_label, v.label AS nl,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY {_cos("qe", "v.e")} DESC, v.vec_id) AS rn
+  FROM v CROSS JOIN q
+  WHERE v.vec_id <> qid
+),
+vote AS (
+  SELECT qid, true_label, nl, COUNT(*) AS c FROM sc WHERE rn <= {KNN_K} GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT qid, true_label, nl AS pred_label FROM (
+    SELECT qid, true_label, nl,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nl) AS r
+    FROM vote
+  ) WHERE r = 1
+)
+SELECT CAST(qid AS BIGINT) AS query_id, CAST(true_label AS BIGINT) AS true_label,
+       CAST(pred_label AS BIGINT) AS pred_label,
+       CAST(pred_label = true_label AS BOOLEAN) AS correct
+FROM pred
+""",
+)
+def q_similarity_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label voting ON the engine — the weak-supervision /
+    label-propagation primitive: each of {KNN_N_QUERIES} held-out
+    queries takes the majority label of its {KNN_K} nearest neighbors
+    (ties to the smallest label), reported beside the true label.
+    Deterministic end to end (bit-exact cosine folds, total
+    tie-breaks), so predictions hash-match the DuckDB twin. On THIS
+    corpus the labels are only weakly embedded (accuracy ~14% vs 10%
+    chance) — the honest readout; pytest pins >=90% on planted
+    clusters, the regime the primitive exists for.
+
+    Scale: identical shape to similarity_ann_recall — a broadcast
+    query sample against one corpus scan; the vote runs on K rows per
+    query. Swap the brute-force stage for ann_topk_* and the vote is
+    unchanged (index-accelerated labeling).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_N_QUERIES)
+    nn = sim.brute_force_topk(emb, queries, k=KNN_K).select(
+        "query_id", "neighbor_id"
+    )
+    labels = emb.select("vec_id", F.col("label").cast("long").alias("label"))
+    votes = (
+        nn.join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("label"))
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
+    truth = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    ).filter(F.col("query_id") < KNN_N_QUERIES)
+    return (
+        pred.join(truth, "query_id")
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "true_label",
+            "pred_label",
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+    )

@@ -63,6 +63,7 @@ PRIORITY: list[str] = [
     "similarity_ann_ivf_multiprobe",
     "similarity_kmeans_pp",
     "similarity_ann_recall",
+    "similarity_knn_label_accuracy",
     # streaming twins without a driver row
     "streaming_rollup_minute_to_hour",
     "streaming_scd2",

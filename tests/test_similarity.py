@@ -226,3 +226,39 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark, sf_dir):
         r1 += h1
         r2 += h2
     assert r2 > r1  # strictly better in aggregate on this corpus
+
+
+def test_knn_label_vote_on_planted_clusters(spark):
+    """kNN majority label voting recovers planted cluster labels: 5
+    clusters x 8 members, each member queried against the rest with
+    k=3 — accuracy must be 100% when clusters are separable."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mock_map_reduce_spark.operators import similarity as sim
+
+    rng = random.Random(11)
+    rows = []
+    vid = 0
+    for label in range(5):
+        base = [rng.gauss(0, 1) for _ in range(DIM)]
+        for _ in range(8):
+            noisy = [x + rng.gauss(0, 0.05) for x in base]
+            rows.append(Row(vec_id=vid, embedding=_unit(noisy), label=label))
+            vid += 1
+    emb = spark.createDataFrame(rows)
+    nn = sim.brute_force_topk(emb, emb, k=3).select("query_id", "neighbor_id")
+    labels = emb.select("vec_id", "label")
+    votes = (
+        nn.join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("label"))
+    pred = votes.withColumn("r", F.row_number().over(w)).filter("r = 1")
+    truth = labels.select(F.col("vec_id").alias("query_id"), F.col("label").alias("t"))
+    joined = pred.join(truth, "query_id")
+    acc = joined.filter("label = t").count() / joined.count()
+    assert acc == 1.0
