@@ -39,10 +39,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # position 0–49).  Registration order therefore decides which queries get a
 # hard driver-confirmed row each round.  Names listed here are moved to the
 # front after all modules import; everything else keeps its import order
-# behind them.  Round 6 front-loads the 83 queries never sampled in rounds
-# 1–5 (tools/confirmation_status.py output), capstones and iterative
-# trainers first, so union coverage keeps climbing toward 208/208; the
-# tail past position ~50 is next round's rotation.
+# behind them.  Round 6 front-loads the 10 new round-6 queries plus the
+# 83 queries never sampled in rounds 1–5 (tools/confirmation_status.py
+# output), capstones and iterative trainers first, so union coverage
+# keeps climbing toward 218/218; the tail past position ~50 is next
+# round's rotation.
 PRIORITY: list[str] = [
     # round-6 additions (need a first driver row)
     "wap_read_published",
@@ -148,9 +149,9 @@ PRIORITY: list[str] = [
     "json_agg",
 ]
 # Everything NOT in this list already has a green driver row from some
-# earlier round (union r1–r5 = 125/208); they keep import order behind
-# the rotation. Future rotations: replace the list with the output of
-# tools/confirmation_status.py.
+# earlier round (union r1–r5 = 125 of the 208 pre-round-6 queries); they
+# keep import order behind the rotation. Future rotations: replace the
+# list with the output of tools/confirmation_status.py.
 
 
 def _reorder() -> None:
