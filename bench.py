@@ -52,6 +52,10 @@ HEADLINE = [
     "join_bloom_pruned",
     "text_bpe_train_merges",
     "embedding_pca_pc1",
+    # round 6: ExactSubstr spans, scalable global row ids, KMV sketch
+    "dedup_substring_spans",
+    "layout_global_row_number",
+    "sketch_kmv_distinct",
 ]
 
 
@@ -98,6 +102,11 @@ def main() -> None:
         return round(time.time() - t0, 3)
 
     def run_once(name: str) -> float:
+        # Per-REP hygiene (uncounted): without it, later reps inherit
+        # the previous rep's dead broadcast/shuffle blocks and a full
+        # GC can land mid-measurement (observed: one 11 s outlier rep
+        # on a 1.3 s query late in the 24-query run).
+        spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         df = registry.QUERIES[name](spark, sf_dir)
         # Bounded results (LIMIT plans) are collected; unbounded counted.
@@ -112,13 +121,6 @@ def main() -> None:
     for name in HEADLINE:
         if name not in registry.QUERIES:
             continue
-        # Inter-query hygiene (uncounted): a driver GC lets Spark's
-        # ContextCleaner release finished queries' broadcast/shuffle
-        # blocks. Without it a long single-JVM session accumulates
-        # dead blocks until an organic full GC lands mid-measurement
-        # (observed: 10x spikes on late queries; periodicGC defaults
-        # to 30 min — far longer than this whole bench).
-        spark.sparkContext._jvm.System.gc()
         samples = sorted(run_once(name) for _ in range(reps))
         timings[name] = round(statistics.median(samples), 3)
         minmax[name] = [round(samples[0], 3), round(samples[-1], 3)]

@@ -145,6 +145,8 @@ _BOUNDED_BNLJ = {
     "basket_brand_lift",  # 1-row basket-count crossJoin broadcast onto the rule table
     "diag_join_key_skew",  # 1-row summary × 1-row heaviest-key crossJoin
     "sketch_kmv_jaccard",  # 1-row sketch × 1-row sketch × 1-row exact-count combine
+    "similarity_ann_recall",  # 5-query broadcast sample × corpus (the exact eval baseline)
+    "similarity_knn_label_accuracy",  # 50-query broadcast sample × corpus (same)
 }
 
 
