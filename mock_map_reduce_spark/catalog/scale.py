@@ -455,3 +455,47 @@ def q_layout_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         (F.row_number().over(w) + off[F.col("__pid")]).cast("long").alias("rn"),
     )
+
+
+@query(
+    "layout_partition_pruned_read",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def q_layout_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning exercised end to end — THE 100 TB scan lever:
+    orders write out hive-partitioned by o_orderpriority
+    (sources/tables.write_parquet partition_by), then a filtered read
+    of one priority comes back. The physical plan must prune at
+    PLANNING time: the scan's PartitionFilters carries the predicate
+    and only the matching directory's files become tasks (asserted
+    here — a full-scan-then-filter plan raises). Oracle is the
+    identity on the pristine rows, so partition-column round-trip
+    defects (hive-encoding, type coercion on the partition value)
+    fail the hash.
+    """
+    import os
+    import tempfile
+
+    from mock_map_reduce_spark.sources import tables as tb
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    d = os.path.join(tempfile.mkdtemp(prefix="part_prune_"), "orders_by_priority")
+    tb.write_parquet(
+        load_table(spark, sf_dir, "orders").select(*cols, "o_orderpriority"),
+        d,
+        partition_by=["o_orderpriority"],
+    )
+    out = (
+        spark.read.parquet(d)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(*cols)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters: []" in plan or "o_orderpriority" not in plan.split(
+        "PartitionFilters"
+    )[-1].split("]")[0]:
+        raise AssertionError("partition filter did not reach the scan")
+    return out

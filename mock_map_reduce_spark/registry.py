@@ -51,6 +51,7 @@ PRIORITY: list[str] = [
     "dedup_substring_spans",
     "serde_xml_file_roundtrip",
     "layout_global_row_number",
+    "layout_partition_pruned_read",
     # capstone pipelines / iterative trainers (VERDICT r5 #2 front-loads)
     "pipeline_pretraining_end_to_end",
     "text_bpe_train_merges",
