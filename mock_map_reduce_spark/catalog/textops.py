@@ -898,3 +898,68 @@ def q_ml_score_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin.cast("long").alias("margin"),
         F.when(margin > 0, 1).otherwise(-1).cast("long").alias("pred"),
     )
+
+
+_VOCAB_PCTS = (10, 25, 50, 100)
+
+
+@query(
+    "text_vocab_growth",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS word
+  FROM documents
+),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+agg AS (
+  SELECT
+    {", ".join(f'''SUM(CASE WHEN doc_id < (SELECT nd FROM n) * {p} // 100 THEN 1 ELSE 0 END) AS t{p},
+    COUNT(DISTINCT CASE WHEN doc_id < (SELECT nd FROM n) * {p} // 100 THEN word END) AS v{p}''' for p in _VOCAB_PCTS)}
+  FROM w
+)
+{" UNION ALL ".join(f'''SELECT CAST({p} AS BIGINT) AS prefix_pct, CAST((SELECT nd FROM n) * {p} // 100 AS BIGINT) AS n_docs,
+       CAST(t{p} AS BIGINT) AS n_tokens, CAST(v{p} AS BIGINT) AS n_vocab FROM agg''' for p in _VOCAB_PCTS)}
+""",
+)
+def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve (Heaps'-law readout) — the corpus
+    datacard diagnostic a pretraining mix is sized with: token count
+    and DISTINCT vocabulary at nested doc-id prefixes (10/25/50/100 %
+    of the corpus), all integers so the curve hash-matches DuckDB.
+    A flattening n_vocab says new data repeats old vocabulary; a
+    near-linear one says the corpus is still surfacing novel text.
+
+    Scale: ONE pass over the token stream — the four prefixes are
+    conditional aggregates in a single multi-distinct aggregation
+    (Spark plans the EXPAND ×4 with map-side partials), never four
+    scans; the prefix thresholds are a constant 1-row subquery.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()  # scalar, constant driver state (kmeans contract)
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != F.lit(""))
+        ).alias("word"),
+    )
+    aggs = []
+    for p in _VOCAB_PCTS:
+        t = n * p // 100
+        aggs.append(
+            F.sum((F.col("doc_id") < t).cast("long")).alias(f"t{p}")
+        )
+        aggs.append(
+            F.countDistinct(
+                F.when(F.col("doc_id") < t, F.col("word"))
+            ).alias(f"v{p}")
+        )
+    one = words.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({p} AS BIGINT), CAST({n * p // 100} AS BIGINT), t{p}, v{p}"
+        for p in _VOCAB_PCTS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_VOCAB_PCTS)}, {stack}) AS (prefix_pct, n_docs, n_tokens, n_vocab)"
+        )
+    )

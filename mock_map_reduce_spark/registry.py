@@ -87,6 +87,7 @@ PRIORITY: list[str] = [
     "fuzzy_word_variants",
     "text_bpe_pairs",
     "text_entropy_by_source",
+    "text_vocab_growth",
     "text_keywords_topk",
     "udtf_text_chunks",
     "arrow_weighted_mean_per_type",
