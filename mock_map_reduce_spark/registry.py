@@ -66,6 +66,7 @@ PRIORITY: list[str] = [
     "similarity_kmeans_pp",
     "similarity_ann_recall",
     "similarity_knn_label_accuracy",
+    "embedding_label_centroid_cosines",
     # streaming twins without a driver row
     "streaming_rollup_minute_to_hour",
     "streaming_scd2",
@@ -99,8 +100,8 @@ PRIORITY: list[str] = [
     "sketch_count_min",
     "sketch_kmv_distinct",
     "sketch_kmv_jaccard",
-    "basket_brand_lift",
     "scd2_point_in_time",
+    "basket_brand_lift",
     "agg_mad_robust",
     "agg_regression_by_type",
     "agg_winsorized_revenue",
