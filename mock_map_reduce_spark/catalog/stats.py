@@ -492,9 +492,7 @@ _KMV_M = 16**15  # hash domain: 15 hex chars = 2^60
 _KMV_BOUND = 5.0 / (_KMV_K - 1) ** 0.5
 
 
-@query(
-    "sketch_kmv_distinct",
-    oracle=f"""
+KMV_DISTINCT_ORACLE = f"""
 WITH d AS (
   SELECT DISTINCT event_type,
          CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
@@ -518,8 +516,10 @@ e AS (
 SELECT event_type, n_kept, est_distinct, exact_distinct,
        abs(est_distinct / CAST(exact_distinct AS DOUBLE) - 1.0) <= {_KMV_BOUND!r} AS within_bound
 FROM e
-""",
-)
+"""
+
+
+@query("sketch_kmv_distinct", oracle=KMV_DISTINCT_ORACLE)
 def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values distinct sketch (Bar-Yossef et al.) — the
     mergeable distinct-count summary that, unlike HLL's opaque binary

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from mock_map_reduce_spark.catalog.stats import KMV_DISTINCT_ORACLE
 from mock_map_reduce_spark.operators.timeseries import TS_FMT
 from mock_map_reduce_spark.sources import load_table
 from mock_map_reduce_spark.registry import query
@@ -383,4 +384,98 @@ def q_streaming_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataF
             F.abs(F.col("approx_users") - F.col("n_exact"))
             <= F.greatest(F.lit(5.0), F.lit(0.25) * F.col("n_exact"))
         ).alias("within_bound"),
+    )
+
+
+@query(
+    "streaming_kmv_distinct",
+    oracle=KMV_DISTINCT_ORACLE,
+)
+def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch built on the STREAM — and, unlike the HLL
+    twin's tolerance band, EXACTLY equal to the batch sketch: each
+    micro-batch folds to per-type K-smallest distinct-hash lists
+    (bounded partials, K longs each) appended via foreachBatch; the
+    post-drain merge dedups and re-takes K smallest. K-smallest-of-
+    union is associative and duplicate-insensitive, so ANY batch
+    slicing lands the identical sketch — this query shares
+    sketch_kmv_distinct's oracle verbatim and passes the same
+    bit-exact hash gate. The mergeable-summary algebra, proven across
+    the batch/stream boundary.
+
+    Scale: per-batch state is K longs per (type, batch); the merge
+    reads only sketch rows. At real ingest the partials would append
+    to a compacted state table keyed by type.
+    """
+    import os
+    import tempfile
+
+    from mock_map_reduce_spark.catalog.stats import _KMV_K
+    from mock_map_reduce_spark.streaming import read_events_stream
+
+    events = read_events_stream(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    feed = events.select("event_type", h.alias("h"))
+    workdir = tempfile.mkdtemp(prefix="kmv_stream_")
+    outdir = os.path.join(workdir, "partials")
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        (
+            batch.distinct()
+            .groupBy("event_type")
+            .agg(F.slice(F.sort_array(F.collect_list("h")), 1, _KMV_K).alias("hs"))
+            .write.mode("append")
+            .parquet(outdir)
+        )
+
+    q = (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(workdir, "checkpoint"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = (
+        spark.read.parquet(outdir)
+        .groupBy("event_type")
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("hs")))),
+                1,
+                _KMV_K,
+            ).alias("hs")
+        )
+    )
+    from mock_map_reduce_spark.catalog.stats import _KMV_BOUND, _KMV_M
+
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    est = F.when(F.size("hs") < _KMV_K, F.size("hs").cast("double")).otherwise(
+        F.lit(float(_KMV_K - 1))
+        * F.lit(float(_KMV_M))
+        / F.element_at("hs", _KMV_K).cast("double")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.size("hs").cast("long").alias("n_kept"),
+            est.alias("est_distinct"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        )
+        .withColumn(
+            "within_bound",
+            F.abs(
+                F.col("est_distinct") / F.col("exact_distinct").cast("double")
+                - F.lit(1.0)
+            )
+            <= F.lit(_KMV_BOUND),
+        )
     )

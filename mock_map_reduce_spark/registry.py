@@ -75,6 +75,8 @@ PRIORITY: list[str] = [
     "streaming_cdc_upsert",
     "streaming_static_enrich",
     "streaming_approx_distinct_users",
+    "streaming_kmv_distinct",
+    "scd2_point_in_time",
     # dedup / curation tails
     "dedup_minhash_jaccard_estimate",
     "dedup_ngram_containment",
@@ -100,7 +102,6 @@ PRIORITY: list[str] = [
     "sketch_count_min",
     "sketch_kmv_distinct",
     "sketch_kmv_jaccard",
-    "scd2_point_in_time",
     "basket_brand_lift",
     "agg_mad_robust",
     "agg_regression_by_type",
