@@ -173,3 +173,45 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = mm.synthesize_video_table(docs)
     return mm.video_frame_features(media)
+
+
+@query(
+    "multimodal_resize_features",
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) + 1, 4),
+                               i -> ord(substring(text, i, 1)))) AS v
+  FROM documents
+),
+per AS (SELECT doc_id, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS sq FROM b GROUP BY doc_id),
+cnts AS (SELECT doc_id, v, COUNT(*) AS c FROM b GROUP BY doc_id, v),
+ent AS (SELECT doc_id, SUM(c * log2(c)) AS t FROM cnts GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n, 0) AS BIGINT) AS n_bytes,
+       COALESCE(round(CAST(p.s AS DOUBLE) / p.n, 6), 0.0) AS mean_byte,
+       COALESCE(round(sqrt(CAST(p.sq AS DOUBLE) / p.n
+                           - (CAST(p.s AS DOUBLE) / p.n) * (CAST(p.s AS DOUBLE) / p.n)), 6),
+                0.0) AS std_byte,
+       COALESCE(round(log2(p.n) - e.t / p.n, 6), 0.0) AS entropy_proxy
+FROM documents d
+LEFT JOIN per p USING (doc_id)
+LEFT JOIN ent e USING (doc_id)
+""",
+)
+def q_multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize → feature-extract CHAIN: two Arrow-batched
+    mapInPandas stages composed — resize_payload keeps every 4th
+    payload byte (the media-downscale stand-in), byte_features reduces
+    the RESIZED payload to moments — with the oracle stating the same
+    statistics over positions 1, 5, 9, … of the source bytes. Proves
+    payload flows correctly BETWEEN Pandas-UDF stages (dtype, batch
+    shape, binary round-trip), not just through one.
+
+    Scale: the resize exists to shrink what flows onward — payload
+    drops to 1/4 before features, and only (id, 4 scalars) survive
+    the second stage; nothing keyed ever sees bytes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    resized = mm.resize_payload(mm.attach_binary_payload(docs), factor=4)
+    return mm.byte_features(resized)

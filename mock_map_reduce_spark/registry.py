@@ -83,6 +83,7 @@ PRIORITY: list[str] = [
     "dedup_survivors_by_quality",
     "curation_weighted_sample",
     "multimodal_video_frames",
+    "multimodal_resize_features",
     # text / retrieval additions
     "text_bm25_topk",
     "text_inverted_index",
