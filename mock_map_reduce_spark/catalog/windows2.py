@@ -260,3 +260,43 @@ def q_revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share"),
         F.rank().over(Window.orderBy(F.desc("r"))).cast("int").alias("rnk"),
     )
+
+
+@query(
+    "sql_gaps_and_islands",
+    oracle="""
+WITH keep AS (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 7 <> 0
+),
+marked AS (
+  SELECT k, k - ROW_NUMBER() OVER (ORDER BY k) AS grp FROM keep
+)
+SELECT MIN(k) AS island_start, MAX(k) AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS island_len
+FROM marked GROUP BY grp
+""",
+)
+def q_sql_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands — the classic warehouse pattern: maximal runs
+    of consecutive keys after deterministic deletions (every 7th key
+    dropped), found with the k − ROW_NUMBER() constant-per-run trick.
+    All integers → hash-exact.
+
+    Scale note: the global ROW_NUMBER here IS the single-partition
+    window (fine for a keyspace audit, the usual use); the scalable
+    form substitutes layout_global_row_number's range-partitioned
+    numbering and groups on the same difference — identical islands,
+    no one-task sort.
+    """
+    keep = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 != 0)
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    w = Window.orderBy("k")
+    marked = keep.withColumn("grp", F.col("k") - F.row_number().over(w))
+    return marked.groupBy("grp").agg(
+        F.min("k").alias("island_start"),
+        F.max("k").alias("island_end"),
+        F.count(F.lit(1)).cast("long").alias("island_len"),
+    ).drop("grp")

@@ -61,6 +61,7 @@ PRIORITY: list[str] = [
     "embedding_pca_pc1",
     "cdc_merge_orders",
     "sql_recursive_hierarchy",
+    "sql_gaps_and_islands",
     "similarity_ann_ivf_pq",
     "similarity_ann_ivf_multiprobe",
     "similarity_kmeans_pp",
@@ -84,7 +85,12 @@ PRIORITY: list[str] = [
     "curation_weighted_sample",
     "multimodal_video_frames",
     "multimodal_resize_features",
+    "sketch_count_min",
+    "sketch_kmv_distinct",
+    "sketch_kmv_jaccard",
     # text / retrieval additions
+    "graph_triangle_count",
+    "graph_pagerank",
     "text_bm25_topk",
     "text_inverted_index",
     "text_feature_hashing",
@@ -96,13 +102,8 @@ PRIORITY: list[str] = [
     "udtf_text_chunks",
     "arrow_weighted_mean_per_type",
     # graph / stats / sketches
-    "graph_triangle_count",
-    "graph_pagerank",
     "ab_test_two_proportion",
     "stat_chi_square_independence",
-    "sketch_count_min",
-    "sketch_kmv_distinct",
-    "sketch_kmv_jaccard",
     "basket_brand_lift",
     "agg_mad_robust",
     "agg_regression_by_type",
