@@ -180,19 +180,23 @@ m AS (
          (CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END) + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END) + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) + (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END) + (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) + (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END) + (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) + (CASE WHEN sa.h8 = sb.h8 THEN 1 ELSE 0 END) + (CASE WHEN sa.h9 = sb.h9 THEN 1 ELSE 0 END) + (CASE WHEN sa.h10 = sb.h10 THEN 1 ELSE 0 END) + (CASE WHEN sa.h11 = sb.h11 THEN 1 ELSE 0 END) + (CASE WHEN sa.h12 = sb.h12 THEN 1 ELSE 0 END) + (CASE WHEN sa.h13 = sb.h13 THEN 1 ELSE 0 END) + (CASE WHEN sa.h14 = sb.h14 THEN 1 ELSE 0 END) + (CASE WHEN sa.h15 = sb.h15 THEN 1 ELSE 0 END) AS n_match
   FROM cand c JOIN sigs sa ON c.id_a = sa.doc_id JOIN sigs sb ON c.id_b = sb.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
+cids AS (SELECT id_a AS doc_id FROM cand UNION SELECT id_b AS doc_id FROM cand),
+cg AS (SELECT g.doc_id, g.gram FROM grams g SEMI JOIN cids USING (doc_id)),
+stop AS (SELECT gram FROM cg GROUP BY gram HAVING count(*) > {MAX_DOC_FREQ}),
+kept AS (SELECT doc_id, gram FROM cg ANTI JOIN stop USING (gram)),
+sizes AS (SELECT doc_id, count(*) AS ng FROM kept GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
-  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT m.id_a, m.id_b, CAST(m.n_match AS BIGINT) AS n_match,
        CAST(m.n_match AS DOUBLE) / 16 AS est_jaccard,
-       CAST(COALESCE(s.ns, 0) AS DOUBLE) / (za.ng + zb.ng - COALESCE(s.ns, 0)) AS jaccard
+       COALESCE(CAST(s.ns AS DOUBLE) / (za.ng + zb.ng - s.ns), 0.0) AS jaccard
 FROM m
 LEFT JOIN shared s ON m.id_a = s.id_a AND m.id_b = s.id_b
-JOIN sizes za ON m.id_a = za.doc_id
-JOIN sizes zb ON m.id_b = zb.doc_id
+LEFT JOIN sizes za ON m.id_a = za.doc_id
+LEFT JOIN sizes zb ON m.id_b = zb.doc_id
 """,
 )
 def q_dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,12 +210,12 @@ def q_dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFr
     signature agg and the gram posting machinery are the same
     exchanges the LSH and Jaccard queries already take, and the
     exact-Jaccard side runs ONLY over docs appearing in some LSH
-    candidate pair (doc-level semi-join before shingling): each kept
-    doc keeps ALL its shingles, so sizes and intersections — hence
-    jaccard — are bit-identical for candidate pairs, while pair
-    fan-out is bounded by the candidate set instead of corpus-wide
-    co-occurrence (the oracle needs no mirror: dropped pairs were
-    never joined).
+    candidate pair (doc-level semi-join before shingling), and applies
+    the same MAX_DOC_FREQ stop-shingle cap as dedup_ngram_jaccard —
+    within the candidate subset — so even a viral boilerplate shingle
+    *inside* the candidate set cannot fan out quadratically in
+    candidate count. The oracle mirrors both: its kept CTE re-derives
+    the capped shingle sets over the candidate docs.
     """
     docs = load_table(spark, sf_dir, "documents")
     # Materialize the signature pipeline ONCE; the candidate generation
@@ -229,6 +233,7 @@ def q_dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFr
         load_table(spark, sf_dir, "documents").join(cand_ids, "doc_id", "left_semi"),
         NGRAM,
         threshold=0.0,
+        max_doc_freq=MAX_DOC_FREQ,
     )
     sa = sigs.select(
         F.col("doc_id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(16)]

@@ -113,7 +113,13 @@ def q_hdfs_uri_scan_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_confs(spark)
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    root = jvm.org.apache.hadoop.fs.Path(f"file://{sf_dir}/documents.parquet")
+    # abspath first: a relative sf_dir would otherwise have its first
+    # segment parsed as the file:// URI authority and resolve wrongly.
+    import os
+
+    root = jvm.org.apache.hadoop.fs.Path(
+        f"file://{os.path.abspath(sf_dir)}/documents.parquet"
+    )
     fs = root.getFileSystem(hconf)
     if fs.getFileStatus(root).isDirectory():
         uris = [

@@ -663,8 +663,7 @@ def q_wap_read_published(spark: SparkSession, sf_dir: str) -> DataFrame:
     in one query. Scale: publish is one metadata flip regardless of
     data size; generations are immutable so the pinned read is stable.
     """
-    import tempfile
-
+    from mock_map_reduce_spark.functions.scratch import scratch_dir
     from mock_map_reduce_spark.sources import tables as tb
 
     orders = load_table(spark, sf_dir, "orders")
@@ -686,7 +685,7 @@ def q_wap_read_published(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda d: d.filter(F.col("o_orderpriority").isNull()).count() == 0,
         ),
     ]
-    table_dir = tempfile.mkdtemp(prefix="wap_orders_")
+    table_dir = scratch_dir("wap_orders")
     tb.write_audit_publish(rollup("F"), table_dir, audits)  # gen 0 — pinned
     tb.write_audit_publish(rollup("O"), table_dir, audits)  # gen 1 — _CURRENT
     return tb.read_published(spark, table_dir, gen=0)
@@ -710,8 +709,8 @@ def q_serde_xml_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     serde_roundtrip_orders covers the ROW-level from_xml function;
     this covers the format as a source/sink."""
     import os
-    import tempfile
 
+    from mock_map_reduce_spark.functions.scratch import scratch_dir
     from mock_map_reduce_spark.sources import tables as tb
 
     sub = (
@@ -719,7 +718,7 @@ def q_serde_xml_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") % 101 == 0)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     )
-    d = os.path.join(tempfile.mkdtemp(prefix="xml_rt_"), "orders_xml")
+    d = os.path.join(scratch_dir("xml_rt"), "orders_xml")
     tb.write_xml(sub, d, row_tag="order")
     return tb.read_xml(
         spark,

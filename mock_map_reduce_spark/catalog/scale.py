@@ -477,12 +477,12 @@ def q_layout_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFram
     fail the hash.
     """
     import os
-    import tempfile
 
+    from mock_map_reduce_spark.functions.scratch import scratch_dir
     from mock_map_reduce_spark.sources import tables as tb
 
     cols = ["o_orderkey", "o_custkey", "o_totalprice"]
-    d = os.path.join(tempfile.mkdtemp(prefix="part_prune_"), "orders_by_priority")
+    d = os.path.join(scratch_dir("part_prune"), "orders_by_priority")
     tb.write_parquet(
         load_table(spark, sf_dir, "orders").select(*cols, "o_orderpriority"),
         d,

@@ -629,7 +629,7 @@ e AS (
   SELECT CAST(u.n_u AS BIGINT) AS n_union_kept,
          CASE WHEN u.n_u < {_KMV_K} THEN CAST(u.n_u AS DOUBLE)
               ELSE {_KMV_K - 1}.0 * CAST({_KMV_M} AS DOUBLE) / CAST(u.kth AS DOUBLE) END AS union_est,
-         CAST(ki.k_int AS DOUBLE) / {_KMV_K}.0 AS jaccard_est,
+         CAST(ki.k_int AS DOUBLE) / CAST(u.n_u AS DOUBLE) AS jaccard_est,
          CAST(x.n_a AS BIGINT) AS n_a, CAST(x.n_b AS BIGINT) AS n_b,
          CAST(x.n_i AS DOUBLE) / (x.n_a + x.n_b - x.n_i) AS jaccard_exact
   FROM u, ki, x
@@ -687,11 +687,14 @@ def q_sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(float(_KMV_M))
         / F.element_at("utop", _KMV_K).cast("double")
     )
+    # Beyer et al. estimator: k_int / |combined sketch| — divide by the
+    # MERGED sketch size, not the fixed K, so the small-set regime
+    # (union carrying fewer than K hashes) is unbiased.
     jac_est = (
         F.size(F.array_intersect(F.array_intersect("utop", "a_hs"), "b_hs")).cast(
             "double"
         )
-        / F.lit(float(_KMV_K))
+        / F.size("utop").cast("double")
     )
     return row.select(
         F.size("utop").cast("long").alias("n_union_kept"),

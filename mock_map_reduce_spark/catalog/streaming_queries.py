@@ -286,11 +286,10 @@ def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintained snapshot's live rows must equal the batch latest-
     event-per-user state with 'error'-typed last events deleted —
     i.e. the stream-maintained table IS the batch query's answer."""
-    import tempfile
-
+    from mock_map_reduce_spark.functions.scratch import scratch_dir
     from mock_map_reduce_spark.streaming import cdc_upsert_stream_to_snapshot
 
-    workdir = tempfile.mkdtemp(prefix="cdc_upsert_")
+    workdir = scratch_dir("cdc_upsert")
     snap = cdc_upsert_stream_to_snapshot(
         read_events_stream(spark, sf_dir), workdir=workdir
     )
@@ -408,9 +407,9 @@ def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a compacted state table keyed by type.
     """
     import os
-    import tempfile
 
     from mock_map_reduce_spark.catalog.stats import _KMV_K
+    from mock_map_reduce_spark.functions.scratch import scratch_dir
     from mock_map_reduce_spark.streaming import read_events_stream
 
     events = read_events_stream(spark, sf_dir)
@@ -418,7 +417,7 @@ def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
     feed = events.select("event_type", h.alias("h"))
-    workdir = tempfile.mkdtemp(prefix="kmv_stream_")
+    workdir = scratch_dir("kmv_stream")
     outdir = os.path.join(workdir, "partials")
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:

@@ -761,14 +761,19 @@ def duplicate_spans(
             )
         ).alias("g"),
     ).select(id_col, "g.pos", "g.gram")
-    occ = grams.groupBy("gram").agg(
-        F.collect_list(F.struct(F.col(id_col), F.col("pos"))).alias("occ")
+    # Duplicated-position detection via a COUNT aggregate + semi-join —
+    # never a collect_list: a viral boilerplate gram contributes one
+    # constant-size counting buffer, not a full occurrence list, so the
+    # stop-gram cap bounds reducer MEMORY as well as pair fan-out. Both
+    # sides of the semi-join hash-partition on gram, so the grams
+    # exchange is computed once and reused (ReusedExchange in the plan).
+    keep = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter((F.col("__n") >= 2) & (F.col("__n") <= max_occ))
+        .select("gram")
     )
-    dup = (
-        occ.filter((F.size("occ") >= 2) & (F.size("occ") <= max_occ))
-        .select(F.explode("occ").alias("o"))
-        .select(F.col(f"o.{id_col}").alias(id_col), F.col("o.pos").alias("pos"))
-    )
+    dup = grams.join(keep, "gram", "left_semi").select(id_col, "pos")
     ws = Window.partitionBy(id_col).orderBy("pos")
     marked = dup.withColumn(
         "new",

@@ -347,11 +347,17 @@ def cdc_upsert_stream_to_snapshot(
     # source's committed offsets are NOT replayed, so the merge chain
     # must resume from the last published generation, not from None.
     def newest_gen() -> str | None:
+        # Only generations with Spark's _SUCCESS marker count: a crash
+        # mid-write of generation N leaves a partial parquet dir, and
+        # resuming from it would merge batch N onto partial state and
+        # silently drop keys. Incomplete dirs are skipped so recovery
+        # falls back to the last fully-committed generation.
         try:
             gens = [
                 name
                 for name in os.listdir(workdir)
                 if name.startswith("snapshot_gen_")
+                and os.path.exists(os.path.join(workdir, name, "_SUCCESS"))
             ]
         except OSError:
             return None

@@ -392,3 +392,19 @@ def test_cdc_upsert_recovers_snapshot_across_restart(spark, tmp_path):
     snap2 = cdc_upsert_stream_to_snapshot(stream(), workdir=work)
     got = {(r.user_id, r.value) for r in snap2.collect()}
     assert got == {(1, 10.0), (2, 20.0)}
+
+    # A crash mid-write leaves a PARTIAL generation dir (no _SUCCESS).
+    # Recovery must skip it and resume from the newest COMMITTED
+    # generation, or the next batch merges onto partial state and
+    # silently drops keys.
+    gens = sorted(
+        int(n.rsplit("_", 1)[1])
+        for n in os.listdir(work)
+        if n.startswith("snapshot_gen_")
+    )
+    partial = os.path.join(work, f"snapshot_gen_{gens[-1] + 1}")
+    os.makedirs(partial)  # torn write: dir exists, no _SUCCESS, no data
+    land(2, [Row(event_id=3, user_id=3, ts=t0, event_type="click", value=30.0)])
+    snap3 = cdc_upsert_stream_to_snapshot(stream(), workdir=work)
+    got = {(r.user_id, r.value) for r in snap3.collect()}
+    assert got == {(1, 10.0), (2, 20.0), (3, 30.0)}

@@ -72,10 +72,12 @@ def main() -> None:
         print(json.dumps(st, indent=1))
         return
     if "--suggest" in sys.argv:
-        # Next round's PRIORITY candidates: sampled-but-never-green
-        # first (strongest signal need), then never-sampled in current
-        # registry order. Paste the top ~50 into registry.PRIORITY.
-        for n in st["sampled_never_green"] + st["never_sampled"]:
+        # Since round 7 the registry auto-rotates from the ledger
+        # (registry.compute_rotation); this prints the same ordering
+        # for inspection.
+        from mock_map_reduce_spark import registry
+
+        for n in registry.compute_rotation(list(registry.QUERIES)):
             print(n)
         return
     print(f"registered queries:        {st['total_registered']}")
