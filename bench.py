@@ -56,6 +56,10 @@ HEADLINE = [
     "dedup_substring_spans",
     "layout_global_row_number",
     "sketch_kmv_distinct",
+    # round 7: the iterative/recursive/streaming families enter the bench
+    "graph_pagerank",
+    "sql_recursive_hierarchy",
+    "streaming_tumbling_counts",
 ]
 
 

@@ -844,29 +844,49 @@ def q_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over orders: brand co-purchase
     support / confidence / lift (the recommender's first analytic).
 
-    Scale shape: the basket item table is per-order DISTINCT brands —
-    pair generation is a basket-local self-join (bounded by basket
-    size², never corpus²), pair counts partial-agg before their
-    exchange, and the per-brand marginals + the one-row basket count
-    broadcast back onto the (tiny) pair table. The minsup floor
-    (n_ab >= 5) is the a-priori support prune that keeps the rule
-    table bounded at any order volume. Ratio arithmetic mirrors the
-    oracle expression-for-expression over exact integer counts.
+    Scale shape: ONE groupBy(l_orderkey).collect_set builds each
+    order's distinct sorted brand basket (basket size is bounded by
+    the catalog's brand count, so the set buffer is constant-ish) and
+    that single exchange feeds all three consumers as ReusedExchange:
+    pair generation is basket-LOCAL (sorted-suffix slice-explode,
+    bounded by basket size², never corpus², no self-join and no
+    separate distinct pass), the per-brand marginals explode the same
+    baskets, and the basket total is a count over them. Pair counts
+    partial-agg before their brand-pair exchange and the marginals +
+    one-row total broadcast back onto the (tiny) rule table — 3
+    corpus-scale exchanges total (baskets, pair counts, marginals),
+    down from 6 in the pre-round-7 two-sided join form. The minsup
+    floor (n_ab >= 5) is the a-priori support prune that keeps the
+    rule table bounded at any order volume. Ratio arithmetic mirrors
+    the oracle expression-for-expression over exact integer counts.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    items = (
+    baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
     )
-    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    bc = items.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
-    a = items.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
-    b = items.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    # The count must EVALUATE bs (size(bs) >= 0 is always true but not
+    # foldable): a bare count(1)/count(bs) lets Catalyst prune the
+    # collect_set into a plain distinct — a different exchange the
+    # other two consumers can't share. Keeping bs live makes all three
+    # consumers read ONE baskets shuffle as ReusedExchange.
+    n = baskets.agg(
+        F.count(F.when(F.size("bs") >= 0, True)).alias("n_orders")
+    )
+    bc = (
+        baskets.select(F.explode("bs").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        baskets.filter(F.size("bs") > 1)
+        .select("bs", F.posexplode("bs").alias("__i", "brand_a"))
+        .select(
+            "brand_a",
+            F.explode(F.expr("slice(bs, __i + 2, size(bs))")).alias("brand_b"),
+        )
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 5)

@@ -358,3 +358,22 @@ def test_global_row_number_avoids_single_partition_sort(q):
     plan = executed_plan(q("layout_global_row_number"))
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_basket_lift_shares_one_baskets_exchange(q):
+    """basket_brand_lift (round-7 consolidation): pair generation, the
+    per-brand marginals, and the basket total must all consume ONE
+    collect_set baskets shuffle via ReusedExchange — total shuffle
+    exchanges <= 4 in the final AQE plan, one of which is the
+    constant-size single-partition global count."""
+    plan = final_plan(q("basket_brand_lift"))
+    cut = plan.find("Initial Plan")
+    body = plan[: cut if cut != -1 else len(plan)]
+    shuffles = [
+        line
+        for line in body.splitlines()
+        if ("Exchange hashpartitioning" in line or "Exchange SinglePartition" in line)
+        and "Reused" not in line
+    ]
+    assert len(shuffles) <= 4, shuffles
+    assert body.count("ReusedExchange") >= 2
