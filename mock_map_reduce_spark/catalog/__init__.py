@@ -49,3 +49,8 @@ from mock_map_reduce_spark.catalog import (  # noqa: F401
     timeseries,
     windows2,
 )
+
+# Imported AFTER the block above ON PURPOSE: new-round queries must
+# REGISTER last so registry.compute_rotation queues them behind the
+# outstanding confirmation debt in the driver's sampled prefix.
+from mock_map_reduce_spark.catalog import layout_bucketed  # noqa: E402,F401
