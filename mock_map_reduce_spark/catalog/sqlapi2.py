@@ -452,9 +452,7 @@ ORDER BY n_name, acctbal DESC
 )
 
 
-_sql(
-    "sql_recursive_hierarchy",
-    """
+_RECURSIVE_HIERARCHY_SQL = """
 WITH RECURSIVE walk(p_partkey, anc, depth) AS (
   SELECT p_partkey, p_partkey, 0 FROM part
   UNION ALL
@@ -463,7 +461,11 @@ WITH RECURSIVE walk(p_partkey, anc, depth) AS (
 )
 SELECT p_partkey, MAX(depth) AS depth_to_root, MIN(anc) AS root
 FROM walk GROUP BY p_partkey
-""",
+"""
+
+
+@query("sql_recursive_hierarchy", oracle=_RECURSIVE_HIERARCHY_SQL)
+def q_sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4's WITH RECURSIVE): walk a key-halving
     parent hierarchy from every part to the root, reporting depth —
     the org-chart / BOM-explosion shape, spelled identically in both
@@ -471,5 +473,14 @@ FROM walk GROUP BY p_partkey
     shallow (~40 rounds) even at 100 TB key ranges; each round is one
     filter+project over the frontier, and the final roll-up is a
     plain partial-agg'd groupBy. Spark's manual-loop twin for
-    arbitrary edge lists is dedup_clusters (operators/dedup.py).""",
-)
+    arbitrary edge lists is dedup_clusters (operators/dedup.py).
+
+    The walk materializes ~parts x log2(key) rows, which crosses
+    Spark's default 1M cteRecursionRowLimit guard at sf1 (found in
+    the round-7 sf1 proof run); TOTAL rows are linear in the input,
+    so the row guard is raised while the LEVEL limit — the actual
+    runaway-recursion guard, ~40 rounds here — stays at its default.
+    """
+    register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
+    return spark.sql(_RECURSIVE_HIERARCHY_SQL)
