@@ -761,19 +761,24 @@ def duplicate_spans(
             )
         ).alias("g"),
     ).select(id_col, "g.pos", "g.gram")
-    # Duplicated-position detection via a COUNT aggregate + semi-join —
-    # never a collect_list: a viral boilerplate gram contributes one
-    # constant-size counting buffer, not a full occurrence list, so the
-    # stop-gram cap bounds reducer MEMORY as well as pair fan-out. Both
-    # sides of the semi-join hash-partition on gram, so the grams
-    # exchange is computed once and reused (ReusedExchange in the plan).
-    keep = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("__n"))
+    # Duplicated-position detection via a WINDOWED count over one
+    # gram-keyed exchange — never a collect_list: WindowExec buffers a
+    # gram's rows in a spillable array, so a viral boilerplate gram
+    # costs disk, not reducer heap (the pre-round-7 collect_list built
+    # the full occurrence list in one aggregation buffer). One window
+    # beats the count-aggregate + semi-join alternative too: the
+    # aggregate's exchange carries count buffers and the probe's
+    # carries rows, so they can never unify as ReusedExchange — the
+    # join form either re-derives the gram explode from the scan or
+    # broadcasts a corpus-cardinality keep set. Here the gram lineage
+    # computes once and the plan keeps the original two corpus
+    # exchanges (gram, then doc).
+    wg = Window.partitionBy("gram")
+    dup = (
+        grams.withColumn("__n", F.count(F.lit(1)).over(wg))
         .filter((F.col("__n") >= 2) & (F.col("__n") <= max_occ))
-        .select("gram")
+        .select(id_col, "pos")
     )
-    dup = grams.join(keep, "gram", "left_semi").select(id_col, "pos")
     ws = Window.partitionBy(id_col).orderBy("pos")
     marked = dup.withColumn(
         "new",
