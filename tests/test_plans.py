@@ -377,3 +377,22 @@ def test_basket_lift_shares_one_baskets_exchange(q):
     ]
     assert len(shuffles) <= 4, shuffles
     assert body.count("ReusedExchange") >= 2
+
+
+def test_duplicate_spans_two_corpus_exchanges_no_broadcast(q):
+    """dedup_substring_spans (round-7 rework): duplicated-position
+    detection is a windowed count over ONE gram-keyed exchange — the
+    plan must carry exactly the two corpus exchanges (gram, then doc)
+    and may not broadcast a corpus-cardinality keep set or re-derive
+    the gram explode through a join."""
+    plan = final_plan(q("dedup_substring_spans"))
+    cut = plan.find("Initial Plan")
+    body = plan[: cut if cut != -1 else len(plan)]
+    shuffles = [
+        line
+        for line in body.splitlines()
+        if "Exchange hashpartitioning" in line and "Reused" not in line
+    ]
+    assert len(shuffles) == 2, shuffles
+    assert "BroadcastHashJoin" not in body
+    assert "Join" not in body  # no join at all: window + filter only
