@@ -160,6 +160,69 @@ def kmeans_lloyd(
     )
 
 
+def semdedup(
+    emb: DataFrame,
+    threshold: float,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with k-means, then pruning
+    within-cluster pairs whose cosine exceeds ``threshold``. Returns
+    (vec_id, cell, kept) for every vector: kept=0 iff some LOWER-id
+    vector in the same cluster is within ``threshold`` — the same
+    deterministic min-id survivor convention as the exact/fuzzy text
+    dedup family (operators/dedup.py), in place of the paper's
+    random-representative pick, so the whole pipeline (clustering
+    included) is oracle-checkable.
+
+    Scale (100 TB of vectors): pair generation is an equi-join on the
+    cluster id — never corpus×corpus. The paper's production knob is
+    k ∝ n (cluster size ≈ constant, e.g. ~2k docs/cluster at 100M
+    docs); ``max_cluster_size`` is the same skew guard as the LSH
+    family's ``max_bucket_size``: only the first ``max_cluster_size``
+    members of a cluster (by id) participate in pruning, bounding any
+    one cluster's pair fan-out; overflow members are kept unexamined.
+    """
+    v = emb.select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("e"))
+    cents = v.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    for _ in range(n_iter):
+        cents = _update(_assign(v, cents)).localCheckpoint()
+    assigned = _assign(v, cents)
+    pool = assigned
+    if max_cluster_size is not None:
+        wc = Window.partitionBy("cell").orderBy("vec_id")
+        pool = (
+            assigned.withColumn("__crn", F.row_number().over(wc))
+            .filter(F.col("__crn") <= max_cluster_size)
+            .drop("__crn")
+        )
+    a = pool.select("cell", F.col("vec_id").alias("id_a"), F.col("e").alias("va"))
+    b = pool.select("cell", F.col("vec_id").alias("id_b"), F.col("e").alias("vb"))
+    dominated = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dominated.withColumn("__dup", F.lit(1)), "vec_id", "left"
+        )
+        .select(
+            F.col("vec_id").alias(id_col),
+            "cell",
+            F.when(F.col("__dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+        )
+    )
+
+
 _D38 = "decimal(38,0)"
 
 

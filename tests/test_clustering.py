@@ -140,3 +140,30 @@ def test_hinge_classifier_query_beats_base_rate(spark, sf_dir):
     base = max(pos, n - pos) / n
     acc = out["__n_correct"] / n
     assert acc >= base + 0.15, (acc, base)
+
+
+def test_semdedup_prunes_planted_duplicates(planted):
+    """Within each planted cluster the lowest id survives; all
+    near-identical higher ids are pruned at a high threshold."""
+    out = {r.vec_id: r for r in cl.semdedup(planted, 0.95, k=2, n_iter=2).collect()}
+    assert {i: out[i].kept for i in range(6)} == {0: 1, 1: 1, 2: 0, 3: 0, 4: 0, 5: 0}
+    assert out[0].cell != out[1].cell  # pruning stayed within-cluster
+    assert out[2].cell == out[0].cell and out[4].cell == out[1].cell
+
+
+def test_semdedup_cluster_cap_bounds_pruning(planted):
+    # cap=1: no within-cluster pairs exist, so nothing can be pruned
+    out = {r.vec_id: r.kept for r in
+           cl.semdedup(planted, 0.95, k=2, n_iter=2, max_cluster_size=1).collect()}
+    assert out == {i: 1 for i in range(6)}
+    # cap=2: only the two lowest ids per cluster participate — member 3
+    # (x-cluster overflow) and 5 (z-cluster overflow) are kept unexamined
+    out2 = {r.vec_id: r.kept for r in
+            cl.semdedup(planted, 0.95, k=2, n_iter=2, max_cluster_size=2).collect()}
+    assert out2 == {0: 1, 1: 1, 2: 0, 3: 1, 4: 0, 5: 1}
+
+
+def test_semdedup_threshold_one_keeps_everything(planted):
+    # planted vectors are near- but not exactly-identical: cos < 1.0
+    out = {r.vec_id: r.kept for r in cl.semdedup(planted, 1.0, k=2, n_iter=2).collect()}
+    assert out == {i: 1 for i in range(6)}

@@ -131,6 +131,7 @@ _BOUNDED_BNLJ = {
     "similarity_ann_ivf_multiprobe",  # same 8 broadcast centroids
     "similarity_kmeans",
     "similarity_kmeans_pp",
+    "dedup_semantic_semdedup",  # same k broadcast centroids as similarity_kmeans
     "text_tfidf",
     "text_keywords_topk",  # built on tf_idf: same 1-row n_docs broadcast
     "range_join_banded",
