@@ -60,6 +60,8 @@ HEADLINE = [
     "graph_pagerank",
     "sql_recursive_hierarchy",
     "streaming_tumbling_counts",
+    # round 7: embedding-space semantic dedup (SemDeDup)
+    "dedup_semantic_semdedup",
 ]
 
 
