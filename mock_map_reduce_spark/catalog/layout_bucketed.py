@@ -21,12 +21,22 @@ confirmation debt (registry.compute_rotation).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+import itertools
 
 from mock_map_reduce_spark.registry import query
 from mock_map_reduce_spark.sources import load_table
 
 _BUCKETS = 8
+# Per-invocation table-name suffixes: fixed global names (b7_orders)
+# raced concurrent invocations in the shared metastore (round-8
+# ADVICE). Names carry pid + a counter; the previous invocation's
+# tables are dropped on entry so the session catalog stays bounded.
+_seq = itertools.count()
+_prev_tables: list[str] = []
 
 
 @query(
@@ -34,7 +44,8 @@ _BUCKETS = 8
     oracle="""
 SELECT o.o_orderpriority,
        count(*) AS n_orders,
-       round(sum(o.o_totalprice * (1 - 0.01 * c.c_nationkey)), 2) AS adj_revenue
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)) * (100 - c.c_nationkey)) AS DOUBLE)
+         / 100 AS adj_revenue
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY o.o_orderpriority
 """,
@@ -45,42 +56,70 @@ def q_layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-located buckets with NO exchange below it (asserted at plan
     time — only the final groupBy may shuffle). The merge hint keeps
     the small side out of a broadcast so the demonstrated property is
-    the bucket layout, not broadcastability."""
+    the bucket layout, not broadcastability.
+
+    adj_revenue is summed as exact DECIMAL(18,2) x integer (the repo's
+    money convention — round-7's one driver failure was a raw-double
+    sum whose addition order put Spark and DuckDB one cent apart
+    across a .005 rounding boundary). No round() on top: the sf0.01
+    2-HIGH group's exact sum lands on a half-cent, where Spark
+    (HALF_UP on the decimal string) and DuckDB (on the binary double)
+    round differently — instead the identical exact sum is cast to
+    double and /100'd, both IEEE-deterministic scalar ops.
+
+    Production pays the bucketing ONCE at ingest — that is the entire
+    point of the layout. This gate entry re-buckets per invocation
+    only so the driver exercises the full write->catalog->join flow;
+    its measured cost is dominated by the writes, not the
+    exchange-free join being demonstrated (tests/test_bucketing.py
+    times the join alone)."""
     from mock_map_reduce_spark.functions.scratch import scratch_dir
 
     d = scratch_dir("bucketed_join")
-    spark.sql("DROP TABLE IF EXISTS b7_orders")
-    spark.sql("DROP TABLE IF EXISTS b7_customer")
+    for t in _prev_tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    _prev_tables.clear()
+    tag = f"{os.getpid()}_{next(_seq)}"
+    t_orders, t_cust = f"b7_orders_{tag}", f"b7_customer_{tag}"
+    _prev_tables.extend([t_orders, t_cust])
     (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
         .write.bucketBy(_BUCKETS, "o_custkey")
         .sortBy("o_custkey")
-        .option("path", f"{d}/b7_orders")
+        .option("path", f"{d}/{t_orders}")
         .mode("overwrite")
-        .saveAsTable("b7_orders")
+        .saveAsTable(t_orders)
     )
     (
         load_table(spark, sf_dir, "customer")
         .select("c_custkey", "c_nationkey")
         .write.bucketBy(_BUCKETS, "c_custkey")
         .sortBy("c_custkey")
-        .option("path", f"{d}/b7_customer")
+        .option("path", f"{d}/{t_cust}")
         .mode("overwrite")
-        .saveAsTable("b7_customer")
+        .saveAsTable(t_cust)
     )
-    orders = spark.table("b7_orders")
-    cust = spark.table("b7_customer")
+    orders = spark.table(t_orders)
+    cust = spark.table(t_cust)
     joined = orders.join(
         cust.hint("merge"), orders.o_custkey == cust.c_custkey
     )
     out = joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(
-            F.sum(F.col("o_totalprice") * (1 - 0.01 * F.col("c_nationkey"))), 2
+        (
+            F.sum(
+                F.col("o_totalprice").cast("decimal(18,2)")
+                * (F.lit(100) - F.col("c_nationkey"))
+            ).cast("double")
+            / 100
         ).alias("adj_revenue"),
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
+    # Under AQE the string can append an "Initial Plan" dump whose
+    # pre-optimization exchanges are never executed — cut before
+    # searching (round-8 ADVICE; same convention as tests/test_plans).
+    plan = plan.split("Initial Plan")[0]
     join_at = plan.find("SortMergeJoin")
     if join_at == -1:
         raise AssertionError("bucketed join did not plan as sort-merge:\n" + plan)

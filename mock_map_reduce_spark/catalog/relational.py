@@ -718,12 +718,22 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PR_DEC = "decimal(28,14)"
+# PageRank fixed-point: ranks live in integer UNITS of 1e-14 (bigint).
+# Every per-step quantity is a floor DIVISION of integers, and every
+# accumulation is an integer SUM — bit-exact, associative, identical
+# in any engine / partitioning / retry order. (The previous
+# round-to-DECIMAL(28,14) formulation rounded DOUBLES at each step,
+# and round-half behavior on a double differs between Spark's
+# shortest-string HALF_UP and DuckDB's binary-value rounding whenever
+# a quotient lands near a half at digit 15 — observed as a 1e-14 skew
+# at sf0.01 under the round-8 15-sig-digit local gate.)
+_PR_ONE = 10**14  # 1.0 in units
+_PR_TELEPORT = 15 * 10**12  # 0.15 in units
 
 
 @query(
     "graph_pagerank",
-    oracle="""
+    oracle=f"""
 WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0),
 pairs AS (
   SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
@@ -733,28 +743,31 @@ pairs AS (
 edges AS (SELECT p1 AS src, p2 AS dst FROM pairs UNION ALL SELECT p2, p1 FROM pairs),
 deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
 n AS (SELECT COUNT(*) AS n_nodes FROM deg),
-r0 AS (SELECT src AS node, CAST(ROUND(1.0 / (SELECT n_nodes FROM n), 14) AS DECIMAL(28,14)) AS r FROM deg),
+r0 AS (SELECT src AS node, {_PR_ONE} // (SELECT n_nodes FROM n) AS r FROM deg),
 c1 AS (
-  SELECT e.dst AS node, SUM(CAST(ROUND(CAST(r0.r AS DOUBLE) / deg.d, 14) AS DECIMAL(28,14))) AS s
+  SELECT e.dst AS node, SUM(r0.r // deg.d) AS s
   FROM edges e JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src GROUP BY 1
 ),
-r1 AS (SELECT node, CAST(ROUND(0.15 / (SELECT n_nodes FROM n) + 0.85 * CAST(s AS DOUBLE), 14) AS DECIMAL(28,14)) AS r FROM c1),
+r1 AS (SELECT node,
+       {_PR_TELEPORT} // (SELECT n_nodes FROM n) + (85 * s) // 100 AS r FROM c1),
 c2 AS (
-  SELECT e.dst AS node, SUM(CAST(ROUND(CAST(r1.r AS DOUBLE) / deg.d, 14) AS DECIMAL(28,14))) AS s
+  SELECT e.dst AS node, SUM(r1.r // deg.d) AS s
   FROM edges e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src GROUP BY 1
 ),
-r2 AS (SELECT node, CAST(ROUND(0.15 / (SELECT n_nodes FROM n) + 0.85 * CAST(s AS DOUBLE), 14) AS DECIMAL(28,14)) AS r FROM c2)
-SELECT node, CAST(r AS DOUBLE) AS rank
+r2 AS (SELECT node,
+       {_PR_TELEPORT} // (SELECT n_nodes FROM n) + (85 * s) // 100 AS r FROM c2)
+SELECT node, CAST(r AS DOUBLE) / {_PR_ONE} AS rank
 FROM r2 ORDER BY r DESC, node LIMIT 20
 """,
 )
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (2 power iterations, damping 0.85) over the symmetrized
     co-purchase graph — the iterative-NUMERIC companion to the
-    iterative-set dedup_clusters: like similarity_kmeans, every
-    per-step quantity is rounded to a fixed DECIMAL(28,14) before the
-    exact decimal SUM, so partitioning/retries/engines cannot reorder
-    a float accumulation — the ITERATION ITSELF is oracle-checked.
+    iterative-set dedup_clusters: ranks are fixed-point bigints (units
+    of 1e-14, see _PR_ONE note above), so every step is integer floor
+    division + integer sum and partitioning/retries/engines cannot
+    reorder a float accumulation — the ITERATION ITSELF is
+    oracle-checked bit-exactly.
     Same l_partkey % 4 == 0 demo subgraph as graph_triangle_count.
 
     Scale: per iteration one join of edges to the rank vector on src
@@ -784,7 +797,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
     ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
         F.col("src").alias("node"),
-        F.round(F.lit(1.0) / F.col("n_nodes"), 14).cast(_PR_DEC).alias("r"),
+        F.expr(f"{_PR_ONE}L div n_nodes").alias("r"),
     )
     for _ in range(2):
         contrib = (
@@ -792,25 +805,20 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(deg, "src")
             .select(
                 F.col("dst").alias("node"),
-                F.round(F.col("r").cast("double") / F.col("d"), 14)
-                .cast(_PR_DEC)
-                .alias("contrib"),
+                F.expr("r div d").alias("contrib"),
             )
         )
         sums = contrib.groupBy("node").agg(F.sum("contrib").alias("s"))
         ranks = sums.crossJoin(F.broadcast(n_nodes)).select(
             "node",
-            F.round(
-                F.lit(0.15) / F.col("n_nodes") + F.lit(0.85) * F.col("s").cast("double"),
-                14,
-            )
-            .cast(_PR_DEC)
-            .alias("r"),
+            F.expr(f"{_PR_TELEPORT}L div n_nodes + (85 * s) div 100").alias("r"),
         )
     return (
         ranks.orderBy(F.desc("r"), F.asc("node"))
         .limit(20)
-        .select("node", F.col("r").cast("double").alias("rank"))
+        .select(
+            "node", (F.col("r").cast("double") / F.lit(float(_PR_ONE))).alias("rank")
+        )
     )
 
 

@@ -480,7 +480,21 @@ def q_sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the round-7 sf1 proof run); TOTAL rows are linear in the input,
     so the row guard is raised while the LEVEL limit — the actual
     runaway-recursion guard, ~40 rounds here — stays at its default.
+
+    The raised row guard is SCOPED (round-8 ADVICE fix): the
+    recursion is forced eagerly via localCheckpoint inside the
+    raise/restore window, so later recursive queries in the same
+    shared session keep the default runaway-recursion row guard. The
+    checkpointed result is the final GROUPED roll-up (one row per
+    part), not the ~parts x log2(key) walk.
     """
     register_views(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
-    return spark.sql(_RECURSIVE_HIERARCHY_SQL)
+    try:
+        return spark.sql(_RECURSIVE_HIERARCHY_SQL).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prev)

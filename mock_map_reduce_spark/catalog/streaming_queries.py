@@ -478,3 +478,45 @@ def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(_KMV_BOUND),
         )
     )
+
+
+@query(
+    "streaming_rate_source_agg",
+    oracle="""
+SELECT range % 10 AS bucket,
+       COUNT(*) AS n_rows,
+       CAST(SUM(range) AS BIGINT) AS sum_value,
+       CAST(MAX(range // 500) AS BIGINT) AS max_batch_offset
+FROM range(5000) GROUP BY 1
+""",
+)
+def q_streaming_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded message-bus-style source (rate-micro-batch), drained
+    to a target offset, then aggregated — the Kafka-shaped ingest path
+    with a broker-free deterministic source (see streaming/rate_source
+    module docstring; swapping in Kafka changes only the reader).
+
+    The source clock is part of the check: max_batch_offset is derived
+    from the EVENT TIMESTAMPS the source stamped (seconds since the
+    configured startTimestamp, timezone-free epoch math), and must
+    equal value // rowsPerBatch — i.e. every row landed in the batch,
+    and with the batch clock, that the source contract promises.
+    sf_dir is unused: the source generates its rows."""
+    from mock_map_reduce_spark.streaming.rate_source import (
+        rate_micro_batch_stream,
+        run_until_count,
+    )
+
+    target = 5000
+    stream = rate_micro_batch_stream(spark, rows_per_batch=500).filter(
+        F.col("value") < target
+    )
+    run_until_count(stream, "drv_stream_rate", target_rows=target)
+    rows = spark.table("drv_stream_rate")
+    return rows.groupBy((F.col("value") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("sum_value"),
+        F.max(F.unix_timestamp("timestamp") - F.lit(1_704_067_200)).alias(
+            "max_batch_offset"
+        ),
+    )

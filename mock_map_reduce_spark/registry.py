@@ -77,11 +77,14 @@ def _read_ledger() -> tuple[set[str], set[str]]:
             continue
         for name, row in data.items():
             sampled.add(name)
+            # hash_match must be affirmatively True (round-8 ADVICE):
+            # a null/absent hash means the values were never verified,
+            # so the query must stay in the confirmation rotation.
             ok = (
                 isinstance(row, dict)
                 and row.get("rows_match")
                 and row.get("schema_match")
-                and row.get("hash_match") is not False
+                and row.get("hash_match") is True
                 and not row.get("err")
             )
             if ok:

@@ -1,6 +1,10 @@
 """Structured Streaming operators (tumbling/sliding/session windows
 with watermarks). Batch twins live in operators/timeseries.py."""
 
+from mock_map_reduce_spark.streaming.rate_source import (
+    rate_micro_batch_stream,
+    run_until_count,
+)
 from mock_map_reduce_spark.streaming.windows import (
     read_events_stream,
     cdc_upsert_stream_to_snapshot,
@@ -16,6 +20,8 @@ from mock_map_reduce_spark.streaming.windows import (
 )
 
 __all__ = [
+    "rate_micro_batch_stream",
+    "run_until_count",
     "read_events_stream",
     "cdc_upsert_stream_to_snapshot",
     "dedup_stream",

@@ -40,7 +40,18 @@ def _norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # Round 7 shipped a flaky query because 9g swallowed a
+        # cent-level divergence (digit 11 of a ~1e8 sum) that the
+        # driver's gate caught; the local gate must be at least as
+        # strict as the driver's. 15 significant digits catches that
+        # class while tolerating the one class the driver also
+        # tolerates (driver-green across r1-r7): last-ulp
+        # decimal->double conversion skew, where Java's
+        # BigDecimal.doubleValue (correctly rounded) and DuckDB's
+        # int128/10^scale double division land on adjacent doubles
+        # (e.g. ...5.55702698 vs ...5.55702704, identical through
+        # digit 15). Full 17g/repr would flag every such cast.
+        return f"{v:.15g}"
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, (list, tuple)):
