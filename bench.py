@@ -62,6 +62,8 @@ HEADLINE = [
     "streaming_tumbling_counts",
     # round 7: embedding-space semantic dedup (SemDeDup)
     "dedup_semantic_semdedup",
+    # round 8: unbounded (message-bus-shaped) source family
+    "streaming_rate_source_agg",
 ]
 
 
@@ -107,6 +109,29 @@ def main() -> None:
             h.update(block)
         return round(time.time() - t0, 3)
 
+    def calibrate_mt() -> float:
+        """ALL-CORES CPU proxy: the single-thread constant cannot see
+        cgroup quotas / steal that only bite under parallel load —
+        which is exactly the regime every measured query runs in
+        (found in round 8: a broad ~1.3x drift on untouched queries
+        reproduced identically on the prior round's code, i.e. host,
+        not plans). Wall time for n_cores concurrent copies of the
+        same sha256 loop; on an unthrottled box ≈ the single-thread
+        number, inflating in direct proportion to contention."""
+        import hashlib
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one() -> None:
+            h = hashlib.sha256()
+            block = bytes(1 << 20)
+            for _ in range(200):
+                h.update(block)  # releases the GIL for ~1 MB updates
+
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=n_cores) as ex:
+            list(ex.map(lambda _: one(), range(n_cores)))
+        return round(time.time() - t0, 3)
+
     def run_once(name: str) -> float:
         # Per-REP hygiene (uncounted): without it, later reps inherit
         # the previous rep's dead broadcast/shuffle blocks and a full
@@ -146,6 +171,7 @@ def main() -> None:
                 "queries_minmax": minmax,
                 "total_min": total_min,
                 "calib_sec": calibrate(),
+                "calib_mt_sec": calibrate_mt(),
                 "reps": reps,
                 "sf": sf,
             }
