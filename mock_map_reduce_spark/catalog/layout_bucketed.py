@@ -130,3 +130,50 @@ def q_layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucketed join shuffled its inputs — bucket co-location lost:\n" + plan
         )
     return out
+
+
+@query(
+    "layout_compact_small_files",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY 1
+""",
+)
+def q_layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the OPTIMIZE maintenance job) inside the
+    hard gate: fragment orders into 64 tiny parquet files (the shape
+    every per-micro-batch / per-task sink degenerates into), compact
+    with sources.compact_parquet (size-targeted round-robin rewrite),
+    assert the file count actually collapsed, and hand the COMPACTED
+    table's aggregate to the oracle — so the rewrite is proven
+    lossless, not just smaller. At 100 TB the fragmented layout wrecks
+    scan planning (a split + footer fetch per file) long before it
+    wrecks storage; compaction runs per-partition behind WAP so
+    readers never see a half-rewritten table (catalog/lifecycle.py)."""
+    from mock_map_reduce_spark.functions.scratch import scratch_dir
+    from mock_map_reduce_spark.sources.tables import compact_parquet
+
+    d = scratch_dir("compact_files")
+    src, dst = f"{d}/fragmented", f"{d}/compacted"
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartition(64)
+        .write.parquet(src)
+    )
+    n_in = len(spark.read.parquet(src).inputFiles())
+    n_out = compact_parquet(spark, src, dst)
+    if not n_out < n_in:
+        raise AssertionError(f"compaction did not shrink: {n_in} -> {n_out} files")
+    return (
+        spark.read.parquet(dst)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

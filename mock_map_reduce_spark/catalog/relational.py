@@ -794,6 +794,19 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    # Degree-annotated edge list, hash-partitioned on src and pinned
+    # ONCE: every iteration joins it against the rank vector on src,
+    # so the edge side never re-shuffles and the (lineitem-scan →
+    # pair-distinct → union) lineage never re-executes per iteration.
+    # At 100 TB this is the persisted partitioned edge structure every
+    # Pregel-style engine keeps across supersteps; locally the pin is
+    # localCheckpoint.
+    edges_deg = (
+        edges.join(deg, "src")
+        .select("src", "dst", "d")
+        .repartition("src")
+        .localCheckpoint()
+    )
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
     ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
         F.col("src").alias("node"),
@@ -801,8 +814,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(2):
         contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
             .select(
                 F.col("dst").alias("node"),
                 F.expr("r div d").alias("contrib"),

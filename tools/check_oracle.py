@@ -27,6 +27,12 @@ import duckdb
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+# Python WORKERS inherit cwd + PYTHONPATH, not the driver's sys.path:
+# keep the repo importable on executors when the tool runs from
+# another directory (pickled Python-data-source classes need it).
+os.environ["PYTHONPATH"] = (
+    REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
