@@ -62,8 +62,10 @@ HEADLINE = [
     "streaming_tumbling_counts",
     # round 7: embedding-space semantic dedup (SemDeDup)
     "dedup_semantic_semdedup",
-    # round 8: unbounded (message-bus-shaped) source family
+    # round 8: unbounded (message-bus-shaped) source family; the
+    # small-file OPTIMIZE maintenance job (write-heavy by design)
     "streaming_rate_source_agg",
+    "layout_compact_small_files",
 ]
 
 

@@ -34,38 +34,44 @@ SD_TAU = 0.35  # within-cluster prune threshold (cosine)
 SD_CAP = 1024  # max_cluster_size skew guard, mirrors LSH max_bucket_size
 
 
-def _sd_oracle() -> str:
+def _sd_oracle(seed: str = str(SD_K)) -> str:
+    """The full SemDeDup CTE chain. ``seed`` is the SQL expression
+    bounding the seed-centroid ids — a literal k for the fixed-k
+    entry, a COUNT(*)-derived scalar subquery for the k ∝ n entry
+    (the CTE chain itself is k-independent, so one template serves
+    both)."""
     parts = [
         _V,
         f"dims AS (SELECT unnest(range(1, {EMB_DIM + 1})) AS dim)",
-        f"c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {SD_K})",
+        f"c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < ({seed}))",
     ]
     for i in range(SD_ITER):
         parts.append(_km_assign_cte(f"a{i}", f"c{i}"))
         parts.append(_km_update_cte(f"m{i}", f"c{i + 1}", f"a{i}"))
     parts.append(_km_assign_cte("afinal", f"c{SD_ITER}"))
     parts.append(
-        f"""pool AS (
-  SELECT vec_id, e, cell FROM (
-    SELECT vec_id, e, cell,
-           ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS crn
-    FROM afinal
-  ) WHERE crn <= {SD_CAP}
+        f"""ranked AS (
+  SELECT vec_id, e, cell,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS crn
+  FROM afinal
 )"""
     )
     parts.append(
         f"""dom AS (
   SELECT DISTINCT b.vec_id
-  FROM pool a JOIN pool b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE {_cos("a.e", "b.e")} >= {SD_TAU}
+  FROM ranked a JOIN ranked b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE a.crn <= {SD_CAP} AND b.crn <= {SD_CAP}
+    AND {_cos("a.e", "b.e")} >= {SD_TAU}
 )"""
     )
     return (
         "WITH "
         + ",\n".join(parts)
-        + """
-SELECT f.vec_id, f.cell, CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
-FROM afinal f LEFT JOIN dom d ON f.vec_id = d.vec_id"""
+        + f"""
+SELECT r.vec_id, r.cell,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept,
+       CASE WHEN r.crn <= {SD_CAP} THEN 1 ELSE 0 END AS examined
+FROM ranked r LEFT JOIN dom d ON r.vec_id = d.vec_id"""
     )
 
 
@@ -79,4 +85,39 @@ def q_dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cl.semdedup(
         emb, SD_TAU, k=SD_K, n_iter=SD_ITER, max_cluster_size=SD_CAP
+    )
+
+
+SD_TARGET = 32  # target mean cluster size for the k ∝ n variant
+
+
+@query(
+    "dedup_semantic_semdedup_kscaled",
+    oracle=_sd_oracle(
+        seed=(
+            f"SELECT GREATEST({SD_K}, "
+            f"CAST(ceil(COUNT(*) / {SD_TARGET}.0) AS BIGINT)) FROM v"
+        )
+    ),
+)
+def q_dedup_semantic_semdedup_kscaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup with the paper's PRODUCTION sizing: k ∝ n so mean
+    cluster size stays ≈ SD_TARGET regardless of corpus scale (k=16 at
+    sf0.01's 500 vectors, k=63 at sf0.1's 2000, ~3M clusters at 100M
+    docs). This is the 100 TB recall story: bounding per-cluster pair
+    fan-out by GROWING k, not by truncating clusters — the SD_CAP skew
+    guard stays as a backstop but is never binding when k scales,
+    so every vector is actually examined (the ``examined`` column
+    audits exactly that). The one driver-side scalar is the corpus
+    COUNT(*) that sizes k — the same bounded collect a production job
+    performs at ingest. Oracle: identical CTE chain with k derived by
+    the same COUNT(*) expression in SQL."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = max(SD_K, math.ceil(emb.count() / SD_TARGET))
+    return cl.semdedup(
+        emb, SD_TAU, k=k, n_iter=SD_ITER, max_cluster_size=SD_CAP
     )

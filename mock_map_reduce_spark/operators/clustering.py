@@ -177,15 +177,22 @@ def semdedup(
     deterministic min-id survivor convention as the exact/fuzzy text
     dedup family (operators/dedup.py), in place of the paper's
     random-representative pick, so the whole pipeline (clustering
-    included) is oracle-checkable.
+    included) is oracle-checkable. A fourth column ``examined``
+    reports whether the vector actually participated in the pruning
+    pool: overflow members of a capped cluster carry examined=0 and
+    are kept by default — counted and reported, never silently mixed
+    in with genuinely-examined survivors, so a recall audit can
+    measure exactly how much of the corpus the cap skipped.
 
     Scale (100 TB of vectors): pair generation is an equi-join on the
     cluster id — never corpus×corpus. The paper's production knob is
     k ∝ n (cluster size ≈ constant, e.g. ~2k docs/cluster at 100M
-    docs); ``max_cluster_size`` is the same skew guard as the LSH
-    family's ``max_bucket_size``: only the first ``max_cluster_size``
-    members of a cluster (by id) participate in pruning, bounding any
-    one cluster's pair fan-out; overflow members are kept unexamined.
+    docs) — see ``dedup_semantic_semdedup_kscaled``
+    (catalog/semdedup.py), which derives k from the corpus size;
+    ``max_cluster_size`` is the same skew guard as the LSH family's
+    ``max_bucket_size``: only the first ``max_cluster_size`` members
+    of a cluster (by id) participate in pruning, bounding any one
+    cluster's pair fan-out.
     """
     v = emb.select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("e"))
     cents = v.filter(F.col("vec_id") < k).select(
@@ -200,14 +207,15 @@ def semdedup(
     # deterministic; at real scale this is persist(DISK)/a checkpoint
     # to reliable storage rather than an in-memory pin.
     assigned = _assign(v, cents).localCheckpoint()
-    pool = assigned
     if max_cluster_size is not None:
         wc = Window.partitionBy("cell").orderBy("vec_id")
-        pool = (
-            assigned.withColumn("__crn", F.row_number().over(wc))
-            .filter(F.col("__crn") <= max_cluster_size)
-            .drop("__crn")
+        flagged = assigned.withColumn(
+            "examined",
+            (F.row_number().over(wc) <= max_cluster_size).cast("int"),
         )
+    else:
+        flagged = assigned.withColumn("examined", F.lit(1))
+    pool = flagged.filter(F.col("examined") == 1)
     a = pool.select("cell", F.col("vec_id").alias("id_a"), F.col("e").alias("va"))
     b = pool.select("cell", F.col("vec_id").alias("id_b"), F.col("e").alias("vb"))
     dominated = (
@@ -218,13 +226,14 @@ def semdedup(
         .distinct()
     )
     return (
-        assigned.join(
+        flagged.join(
             dominated.withColumn("__dup", F.lit(1)), "vec_id", "left"
         )
         .select(
             F.col("vec_id").alias(id_col),
             "cell",
             F.when(F.col("__dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+            "examined",
         )
     )
 

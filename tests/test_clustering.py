@@ -163,6 +163,24 @@ def test_semdedup_cluster_cap_bounds_pruning(planted):
     assert out2 == {0: 1, 1: 1, 2: 0, 3: 1, 4: 0, 5: 1}
 
 
+def test_semdedup_overflow_is_reported_not_silent(planted):
+    """Capped-cluster overflow members are COUNTED AND REPORTED via
+    the examined column (kept=1 but examined=0), never silently mixed
+    in with genuinely-examined survivors — the recall audit the 100 TB
+    cap story depends on."""
+    rows = cl.semdedup(planted, 0.95, k=2, n_iter=2, max_cluster_size=2).collect()
+    examined = {r.vec_id: r.examined for r in rows}
+    # 2 clusters, 2 examined each; members 3 and 5 overflow their caps
+    assert examined == {0: 1, 1: 1, 2: 1, 3: 0, 4: 1, 5: 0}
+    # every overflow member is kept (unexamined ≠ pruned) ...
+    assert all(r.kept == 1 for r in rows if r.examined == 0)
+    # ... and the audit arithmetic closes: examined + overflow = corpus
+    assert sum(examined.values()) + 2 == len(rows)
+    # uncapped: everything examined
+    rows_uncapped = cl.semdedup(planted, 0.95, k=2, n_iter=2).collect()
+    assert all(r.examined == 1 for r in rows_uncapped)
+
+
 def test_semdedup_threshold_one_keeps_everything(planted):
     # planted vectors are near- but not exactly-identical: cos < 1.0
     out = {r.vec_id: r.kept for r in cl.semdedup(planted, 1.0, k=2, n_iter=2).collect()}
