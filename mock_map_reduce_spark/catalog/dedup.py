@@ -479,11 +479,22 @@ def _fuzzy_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = dd.lsh_candidate_pairs(docs, NUM_HASHES, BANDS, NGRAM, use_md5=True)
     grams = dd.shingles(docs, NGRAM)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("ng"))
-    a = grams.select(F.col("doc_id").alias("id_a"), "gram")
-    b = grams.select(F.col("doc_id").alias("id_b"), "gram")
+    # CANDIDATE-FIRST verification (round-8 scale fix): expand each
+    # candidate pair by id_a's grams, then equi-join id_b's grams on
+    # (id_b, gram) — intersection size per candidate pair. Cost is
+    # |cand| x grams-per-doc, linear in the candidate list. The
+    # previous shape (full gram self-join, THEN semi-join on cand)
+    # materialized C(df,2) rows for EVERY gram before the candidate
+    # filter could apply — a single viral gram with doc-frequency df
+    # pays quadratically whether or not its pairs are candidates; at
+    # the sf10 100x-replica stress corpus (every gram df >= 100) that
+    # plan filled the shuffle disk. Candidate-first never touches a
+    # pair LSH didn't nominate.
+    ga = grams.select(F.col("doc_id").alias("id_a"), "gram")
+    gb = grams.select(F.col("doc_id").alias("id_b"), "gram")
     shared = (
-        a.join(b, "gram")
-        .join(cand, ["id_a", "id_b"], "left_semi")  # only score LSH candidates
+        cand.join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("ns"))
     )

@@ -110,7 +110,14 @@ def q_dedup_semantic_semdedup_kscaled(
     fan-out by GROWING k, not by truncating clusters — the SD_CAP skew
     guard stays as a backstop but is never binding when k scales,
     so every vector is actually examined (the ``examined`` column
-    audits exactly that). The one driver-side scalar is the corpus
+    audits exactly that). Honest scale caveat: the assign stage here
+    is the broadcast O(n·k) cosine argmax, fine to k ~ thousands; at
+    production k (~millions) assignment itself becomes the IVF
+    coarse-quantizer problem — two-level k-means where a first pass
+    over √k coarse cells prunes the candidate centroids per vector,
+    exactly the partition-pruned inverted-list layout
+    ``similarity_ann_ivf`` (operators/similarity.py) already
+    implements. The pair-prune stage is k-independent either way. The one driver-side scalar is the corpus
     COUNT(*) that sizes k — the same bounded collect a production job
     performs at ingest. Oracle: identical CTE chain with k derived by
     the same COUNT(*) expression in SQL."""
