@@ -88,9 +88,7 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.sessionize(events, gap_seconds=1800)
 
 
-@query(
-    "asof_join_purchases",
-    oracle=f"""
+_ASOF_ORACLE = f"""
 WITH {_E},
 u AS (
   SELECT event_id, user_id, t,
@@ -106,8 +104,10 @@ m AS (
 )
 SELECT event_id, user_id, strftime(t, '{_FMT}') AS purchase_ts, last_click_id
 FROM m WHERE side = 1
-""",
-)
+"""
+
+
+@query("asof_join_purchases", oracle=_ASOF_ORACLE)
 def q_asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase gets the user's latest click at-or-before it."""
     events = load_table(spark, sf_dir, "events")
@@ -124,6 +124,79 @@ def q_asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_id="event_id",
     )
     return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", ts.TS_FMT).alias("purchase_ts"),
+        "last_click_id",
+    )
+
+
+@query("asof_join_cogrouped", oracle=_ASOF_ORACLE)
+def q_asof_join_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map Pandas UDF — ``groupBy().cogroup().applyInPandas``,
+    the per-key TWO-TABLE custom-merge surface (the one UDF shape the
+    catalog didn't yet exercise): each user's purchases and clicks
+    arrive as two pandas DataFrames and ``pandas.merge_asof`` does the
+    backward as-of match inside the group.
+
+    Shares ``asof_join_purchases``' oracle verbatim — two
+    implementations (declarative union+window vs cogrouped UDF), one
+    answer, so the UDF surface itself is what the hash gate checks.
+    Tie-breaks match the oracle's ``ORDER BY t, side, event_id``:
+    clicks AT the purchase timestamp qualify (merge_asof's
+    allow_exact_matches), and among equal-timestamp clicks the max
+    event_id wins (right side sorted by (ts, event_id); merge_asof
+    takes the last qualifying row).
+
+    Scale shape: cogroup shuffles both sides ONCE on the key — the
+    same two exchanges the declarative form pays — and per-call state
+    is one user's rows, never the corpus; at 100 TB this is the
+    surface for merge logic too gnarly for window algebra (custom
+    event alignment, per-key model replay), paying only Arrow batch
+    transfer on top of the unavoidable co-partitioning."""
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").drop("event_type")
+    # The right side gets DISTINCT column names: both sides descend
+    # from the same scan, and cogroup's attribute dedup mis-prunes the
+    # right projection to just the key when the non-key attributes are
+    # exprId-identical to the left's (observed: right arrived as
+    # ['user_id'] only). Fresh aliases force fresh exprIds.
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left = one user's purchases, right = that user's clicks;
+        # either side may be empty (cogroup is full-outer on keys).
+        if left.empty or right.empty:
+            out = left.copy()
+            out["last_click_id"] = pd.Series(pd.NA, index=out.index, dtype="Int64")
+            return out[["event_id", "user_id", "ts", "last_click_id"]]
+        left = left.sort_values(["ts", "event_id"])
+        right = (
+            right.sort_values(["c_ts", "c_event_id"])
+            .rename(columns={"c_event_id": "last_click_id", "c_ts": "ts"})
+        )
+        out = pd.merge_asof(
+            left, right[["ts", "last_click_id"]], on="ts", direction="backward"
+        )
+        out["last_click_id"] = out["last_click_id"].astype("Int64")
+        return out[["event_id", "user_id", "ts", "last_click_id"]]
+
+    merged = (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("c_user_id"))
+        .applyInPandas(
+            merge, "event_id long, user_id long, ts timestamp, last_click_id long"
+        )
+    )
+    return merged.select(
         "event_id",
         "user_id",
         F.date_format("ts", ts.TS_FMT).alias("purchase_ts"),
