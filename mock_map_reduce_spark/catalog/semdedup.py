@@ -89,14 +89,24 @@ def q_dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SD_TARGET = 32  # target mean cluster size for the k ∝ n variant
+# Single-level-assign budget: k ∝ n is the paper's sizing, but the
+# broadcast cosine argmax costs O(n·k) — unbounded k turns the gate
+# query quadratic (found in round 8's sf10 proof run: n=200k sized
+# k=6250 → 1.25 BILLION interpreted HOF cosines per Lloyd round, on
+# the 2 tasks the single-file scan provided; hours of wall). Past
+# SD_K_MAX the honest production path is the two-level / IVF
+# coarse-quantizer assign described in the docstring — a gate entry
+# must stay tractable in BOTH engines, so k caps here and the cap is
+# mirrored in the oracle's seed expression.
+SD_K_MAX = 1024
 
 
 @query(
     "dedup_semantic_semdedup_kscaled",
     oracle=_sd_oracle(
         seed=(
-            f"SELECT GREATEST({SD_K}, "
-            f"CAST(ceil(COUNT(*) / {SD_TARGET}.0) AS BIGINT)) FROM v"
+            f"SELECT LEAST({SD_K_MAX}, GREATEST({SD_K}, "
+            f"CAST(ceil(COUNT(*) / {SD_TARGET}.0) AS BIGINT))) FROM v"
         )
     ),
 )
@@ -108,9 +118,10 @@ def q_dedup_semantic_semdedup_kscaled(
     sf0.01's 500 vectors, k=63 at sf0.1's 2000, ~3M clusters at 100M
     docs). This is the 100 TB recall story: bounding per-cluster pair
     fan-out by GROWING k, not by truncating clusters — the SD_CAP skew
-    guard stays as a backstop but is never binding when k scales,
-    so every vector is actually examined (the ``examined`` column
-    audits exactly that). Honest scale caveat: the assign stage here
+    guard stays as a backstop but is not binding while k scales
+    (n ≤ SD_K_MAX·SD_TARGET), so every vector is actually examined
+    (the ``examined`` column audits exactly that; past the SD_K_MAX
+    assign budget the audit shows exactly how much the cap skips). Honest scale caveat: the assign stage here
     is the broadcast O(n·k) cosine argmax, fine to k ~ thousands; at
     production k (~millions) assignment itself becomes the IVF
     coarse-quantizer problem — two-level k-means where a first pass
@@ -124,7 +135,7 @@ def q_dedup_semantic_semdedup_kscaled(
     import math
 
     emb = load_table(spark, sf_dir, "embeddings")
-    k = max(SD_K, math.ceil(emb.count() / SD_TARGET))
+    k = min(SD_K_MAX, max(SD_K, math.ceil(emb.count() / SD_TARGET)))
     return cl.semdedup(
         emb, SD_TAU, k=k, n_iter=SD_ITER, max_cluster_size=SD_CAP
     )

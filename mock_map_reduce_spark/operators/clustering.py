@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from mock_map_reduce_spark.functions.partitioning import spread
 from mock_map_reduce_spark.operators.similarity import as_double_array, cosine
 
 
@@ -91,7 +92,9 @@ def kcenter_init(
     rows. Driver holds only the loop counter (the argmin pick stays a
     DataFrame, never a collect).
     """
-    v = emb.select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("e"))
+    v = spread(
+        emb, heavy=True
+    ).select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("e"))
     pool = v.filter(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < pool_prefix_lt
     )
@@ -138,7 +141,9 @@ def kmeans_lloyd(
     A cell that loses all members simply drops out (no re-seeding) —
     deterministic and mirrored by the SQL oracle's inner joins.
     """
-    v = emb.select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("e"))
+    v = spread(
+        emb, heavy=True
+    ).select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("e"))
     cents = (
         init
         if init is not None
@@ -194,7 +199,9 @@ def semdedup(
     of a cluster (by id) participate in pruning, bounding any one
     cluster's pair fan-out.
     """
-    v = emb.select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("e"))
+    v = spread(
+        emb, heavy=True
+    ).select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("e"))
     cents = v.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce")
     )

@@ -40,6 +40,26 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--out", default="/tmp/mmr_testdata/sf1")
+    ap.add_argument(
+        "--doc-dup-pct",
+        type=int,
+        default=100,
+        help="Percent of documents that take part in exact duplication "
+        "across replicas (default 100). The other docs get a "
+        "replica-unique suffix token. Keyed on doc_id %% 100 so the "
+        "choice is deterministic and oracle-mirrorable.",
+    )
+    ap.add_argument(
+        "--doc-dup-group",
+        type=int,
+        default=0,
+        help="Duplicate CLUSTER size for the dup slice: replicas share "
+        "text in groups of this many (suffix keyed on replica//group), "
+        "so duplicate multiplicity stays CONSTANT as reps grow — the "
+        "realistic crawl shape where pair-emitting dedup output scales "
+        "linearly with the corpus. 0/unset = one global group (every "
+        "replica identical, the adversarial regime).",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -113,10 +133,27 @@ def main() -> None:
         f" user_id + {{r}} * {off['user_id']} AS user_id,"
         f" event_type, value, props FROM {src['events']}",
     )
+    # Replica group 0 keeps the verbatim source text; docs in the dup
+    # slice (doc_id % 100 < pct) share text within replica-groups of
+    # size G (suffix token per group id), docs outside it are unique
+    # per replica. Distinct token shapes ('xg' vs 'xu') keep a group
+    # suffix from ever colliding with a unique suffix. n_chars is
+    # recomputed so it stays length(text) (a source invariant).
+    grp = args.doc_dup_group if args.doc_dup_group > 0 else args.reps
+    doc_text = (
+        "CASE"
+        f" WHEN {{r}} // {grp} = 0 AND doc_id % 100 < {args.doc_dup_pct} THEN text"
+        f" WHEN doc_id % 100 < {args.doc_dup_pct}"
+        f" THEN text || ' xg' || CAST({{r}} // {grp} AS VARCHAR) || 'x'"
+        " WHEN {r} = 0 THEN text"
+        " ELSE text || ' xu' || CAST({r} AS VARCHAR) || 'x'"
+        " END"
+    )
     write(
         "documents",
-        f"SELECT doc_id + {{r}} * {off['doc_id']} AS doc_id, text, lang,"
-        f" source, n_chars FROM {src['documents']}",
+        f"SELECT doc_id + {{r}} * {off['doc_id']} AS doc_id,"
+        f" {doc_text} AS text, lang, source,"
+        f" length({doc_text}) AS n_chars FROM {src['documents']}",
     )
     write(
         "embeddings",
