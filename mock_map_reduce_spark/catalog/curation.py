@@ -192,6 +192,48 @@ def q_curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+@query(
+    "curation_temperature_mixture",
+    oracle="""
+WITH c AS (
+  SELECT source, count(*) AS n,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+  FROM documents GROUP BY source
+),
+t AS (SELECT sum(n) AS corpus_n, sum(w) AS denom FROM c),
+q AS (
+  SELECT c.source,
+         least(c.n, ((t.corpus_n // 10) * c.w) // t.denom) AS quota
+  FROM c, t
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.source
+FROM r JOIN q ON r.source = q.source
+WHERE r.rn <= q.quota
+""",
+)
+def q_curation_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture (alpha = 1/2): per-source quotas
+    proportional to sqrt(n_s) under a 10%-of-corpus budget — the
+    alpha-sampling rebalance (XLM-R/mT5 style) that upweights small
+    sources relative to the head. Distinct from curation_mixture_sample,
+    whose rates are hand-pinned per source: here the mixture is DERIVED
+    from the observed source histogram.
+
+    Quota arithmetic is pure integers (isqrt via floor∘sqrt, integer
+    mul/div) — no float sum whose addition order could flip a floor()
+    across engines; selection is exact lowest-md5-rank per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.temperature_mixture(docs, budget_den=10)
+
+
 # --- end-to-end curation pipeline ------------------------------------------
 # The daily 100 TB curation job as ONE declarative plan: exact dedup ->
 # per-language quality floor -> source-mixture reweighting -> rollup.

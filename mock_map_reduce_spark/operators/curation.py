@@ -248,3 +248,62 @@ def weighted_sample(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    budget_den: int = 10,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-flattened source mixture (p_s ∝ n_s^alpha, alpha=1/2).
+
+    The standard multilingual / multi-domain rebalancing knob (XLM-R,
+    mT5 use alpha-sampling): raising small sources and shrinking the
+    head so the mixture is flatter than the corpus. With a total
+    budget of T = N / budget_den documents, each source gets
+
+        quota_s = min(n_s, (T * isqrt(n_s)) div sum_j isqrt(n_j))
+
+    and keeps exactly its quota_s lowest-md5 members.
+
+    Exactness: the whole quota computation is INTEGER — isqrt via
+    floor(sqrt(n)) (IEEE sqrt is correctly rounded, and for n well
+    under 2^52 the nearest double to sqrt(n) never crosses an integer
+    boundary, so floor(sqrt(n)) == isqrt(n) in every engine), then
+    integer multiply / integer div. No float sum whose addition order
+    could flip a floor() across engines (the round-7 lesson).
+
+    Scale: pass 1 is a tiny groupBy(source) count (source cardinality
+    rows); quotas broadcast back; pass 2 ranks ids WITHIN each source
+    by md5 — the shuffle carries (id, source, hash) only, never
+    document bodies. A source too hot for one task's sort is the
+    documented seam: swap the exact rank for a hash-threshold filter
+    at quota_s/n_s (approximate count, map-only) — same mixture, no
+    per-group sort.
+    """
+    slim = docs.select(id_col, group_col)
+    counts = slim.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    counts = counts.withColumn("w", F.floor(F.sqrt(F.col("n"))).cast("long"))
+    tots = counts.agg(
+        F.sum("n").alias("corpus_n"), F.sum("w").alias("denom")
+    )
+    quotas = (
+        counts.crossJoin(F.broadcast(tots))
+        .withColumn(
+            "quota",
+            F.expr(
+                f"least(n, ((corpus_n div {int(budget_den)}) * w) div denom)"
+            ),
+        )
+        .select(group_col, "quota")
+    )
+    w_ord = Window.partitionBy(group_col).orderBy(
+        row_key_hash(id_col), F.col(id_col)
+    )
+    return (
+        slim.withColumn("rn", F.row_number().over(w_ord).cast("long"))
+        .join(F.broadcast(quotas), group_col)
+        .filter(F.col("rn") <= F.col("quota"))
+        .select(id_col, group_col)
+    )

@@ -133,3 +133,40 @@ def test_weighted_sample_plan_is_bounded_topk(spark):
     docs = spark.createDataFrame([(i, 10) for i in range(50)], "doc_id long, n_chars long")
     plan = cu.weighted_sample(docs, 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # bounded heap, no global sort
+
+
+def test_temperature_mixture_quotas_and_determinism(spark):
+    # 100 docs in a 70/20/10 source split: sqrt-temperature flattening
+    # must give the small sources MORE than their proportional share of
+    # the 10-doc budget (that is the entire point of alpha-sampling).
+    import math
+
+    sizes = {"web": 70, "books": 20, "code": 10}
+    rows, i = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cu.temperature_mixture(docs, budget_den=10).collect()
+
+    w = {s: math.isqrt(n) for s, n in sizes.items()}  # 8, 4, 3
+    denom, budget = sum(w.values()), 100 // 10
+    expect_quota = {s: min(sizes[s], budget * w[s] // denom) for s in sizes}
+    got = {}
+    for r in out:
+        got[r.source] = got.get(r.source, 0) + 1
+    assert got == {s: q for s, q in expect_quota.items() if q > 0}
+    # flatter than proportional: code holds 10% of the corpus but gets
+    # 2/10 of the budget (proportional would round to 1)
+    assert got["code"] > sizes["code"] * budget // 100
+    # exact member determinism: lowest-md5 ids per source, twice
+    ids = sorted(r.doc_id for r in out)
+    again = sorted(r.doc_id for r in cu.temperature_mixture(docs, 10).collect())
+    assert ids == again
+    per_src = {s: [] for s in sizes}
+    for r_ in rows:
+        per_src[r_[1]].append(r_[0])
+    for s, q in expect_quota.items():
+        want = sorted(per_src[s], key=lambda d: (_md5(d), d))[:q]
+        assert sorted(d for d in ids if d in set(per_src[s])) == sorted(want)
