@@ -234,6 +234,42 @@ def q_curation_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFram
     return cu.temperature_mixture(docs, budget_den=10)
 
 
+@query(
+    "curation_group_split_counts",
+    oracle="""
+WITH s AS (
+  SELECT n_chars, source,
+         CASE WHEN substring(md5(source), 1, 2) < 'cc' THEN 'train'
+              WHEN substring(md5(source), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY split
+""",
+)
+def q_curation_group_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GROUP-level train/val/test split: the split key is
+    md5(source), not md5(doc_id), so every document from a source
+    lands in the same split. Near-duplicates cluster within a domain —
+    a doc-level split leaks near-dup content from train into eval;
+    keying the assignment by the group is the standard defense
+    (dedup-aware eval splits). Pure reuse of split_assign with the
+    group as the hash key: still map-only, rides the scan; integer
+    count/sum aggregates keep the summary hash-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        cu.split_assign(docs, id_col="source")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 # --- end-to-end curation pipeline ------------------------------------------
 # The daily 100 TB curation job as ONE declarative plan: exact dedup ->
 # per-language quality floor -> source-mixture reweighting -> rollup.

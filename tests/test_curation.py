@@ -170,3 +170,23 @@ def test_temperature_mixture_quotas_and_determinism(spark):
     for s, q in expect_quota.items():
         want = sorted(per_src[s], key=lambda d: (_md5(d), d))[:q]
         assert sorted(d for d in ids if d in set(per_src[s])) == sorted(want)
+
+
+def test_group_split_keeps_groups_atomic(spark):
+    # every doc of a source must land in ONE split — the leakage-safe
+    # property the group-keyed assignment exists for
+    rows = [(i, f"dom{i % 7}") for i in range(70)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cu.split_assign(docs, id_col="source").select("source", "split").collect()
+    seen = {}
+    for r in out:
+        seen.setdefault(r.source, set()).add(r.split)
+    assert all(len(s) == 1 for s in seen.values())
+    for src, splits in seen.items():
+        b2 = _md5_str(src)[:2]
+        want = "train" if b2 < "cc" else "val" if b2 < "e6" else "test"
+        assert splits == {want}
+
+
+def _md5_str(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
