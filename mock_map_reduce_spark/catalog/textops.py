@@ -963,3 +963,44 @@ def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(_VOCAB_PCTS)}, {stack}) AS (prefix_pct, n_docs, n_tokens, n_vocab)"
         )
     )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS w
+  FROM documents
+),
+b AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM t, UNNEST(range(1, len(w))) AS r(i)
+  WHERE len(w) >= 2
+),
+uni AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+big AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+v AS (SELECT count(DISTINCT tok) AS vocab
+      FROM (SELECT unnest(w) AS tok FROM t)),
+s AS (
+  SELECT b.doc_id,
+         CAST(round(-ln((c2 + 1.0) / (c1 + vocab)), 6) AS DECIMAL(18,6)) AS nll
+  FROM b JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(nll) AS DOUBLE) AS nll_total,
+       CAST(CAST(sum(nll) * 1000000 AS BIGINT) // count(*) AS DOUBLE)
+         / 1000000.0 AS avg_nll
+FROM s GROUP BY doc_id
+""",
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity quality filtering (the CCNet recipe): add-one
+    bigram model trained on the corpus, every doc scored by average
+    bigram NLL — the filter signal that separates fluent text from
+    boilerplate/gibberish better than rule scores. Exactness and the
+    100 TB broadcast-model plan are documented on the operator
+    (operators/text.bigram_logprob); distinct from text_rank_surprisal,
+    which is the integer-exact rank PROXY for the same signal — this
+    entry is the real log-probability scorer."""
+    return tx.bigram_logprob(load_table(spark, sf_dir, "documents"))

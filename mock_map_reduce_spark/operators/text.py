@@ -634,3 +634,86 @@ def bpe_segment_vocab(
     return seqs.select(
         "word", F.size(F.split(F.trim(expr), " ")).alias("n_toks")
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc add-one-smoothed bigram-LM negative log-likelihood —
+    the CCNet-style LM quality filter: train a bigram model on the
+    corpus, score each doc by its average token NLL, drop the
+    highest-perplexity tail. (doc_id, n_bigrams, avg_nll).
+
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V): both counts and the
+    vocabulary size are exact integers, so the only float per scored
+    bigram is one division + one ln, rounded to 6 decimals (the
+    text_tfidf exactness convention — a last-ulp ln disagreement
+    cannot cross a 5e-7 rounding boundary in practice). Per-doc
+    totals sum those rounded values as exact DECIMAL(18,6), so the
+    sum is addition-order-independent across engines and retries.
+
+    Scale: the model tables are vocabulary-sized (unigram contexts,
+    distinct bigrams) and broadcast back onto the corpus-scale bigram
+    stream — the corpus shuffles only for the two model groupBys, and
+    the scoring pass rides the stream with zero exchange. At web
+    scale the bigram table can outgrow a broadcast: production trains
+    on a sample (the model is an estimator, not an aggregate) or
+    falls back to a sort-merge join on (w1, w2); the plan shape
+    downstream is unchanged.
+    """
+    t = spread(docs.select(id_col, text_col)).select(
+        F.col(id_col), _word_tokens(text_col).alias("w")
+    )
+    # sequence(1, size-1) DESCENDS when size < 2 — filter first.
+    b = (
+        t.filter(F.size("w") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(w[i-1] AS w1, w[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    uni = b.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    big = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    vocab = t.select(F.explode("w").alias("tok")).agg(
+        F.countDistinct("tok").alias("vocab")
+    )
+    nll = (
+        -F.log(
+            (F.col("c2") + 1).cast("double")
+            / (F.col("c1") + F.col("vocab")).cast("double")
+        )
+    )
+    scored = (
+        b.join(F.broadcast(big), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(id_col, F.round(nll, 6).cast("decimal(18,6)").alias("nll"))
+    )
+    # avg = round(sum/count, 6) is a TRAP: the sum carries exactly 6
+    # decimals, so dividing by e.g. count=10 lands EXACTLY on the
+    # half-boundary at digit 7 and Spark (BigDecimal HALF_UP on the
+    # double's binary expansion) and DuckDB (scaled multiply) round
+    # systematically differently. Integer floor-division of the exact
+    # micro-NLL sum instead: every step is integer or a deterministic
+    # scalar cast.
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("nll").alias("__s"),
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_bigrams",
+        F.col("__s").cast("double").alias("nll_total"),
+        (
+            F.expr("CAST(__s * 1000000 AS BIGINT) div n_bigrams").cast("double")
+            / F.lit(1e6)
+        ).alias("avg_nll"),
+    )

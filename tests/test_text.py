@@ -303,3 +303,31 @@ def test_bpe_segment_vocab_counts(spark):
     # banana: b a n a n a -> b an an a -> b an ana  (3 tokens)
     # bans:   b a n s -> b an s  (3 tokens)
     assert out == {"banana": 3, "bans": 3}
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Two docs over a 3-word vocabulary; add-one bigram NLL computed
+    by hand.  Corpus bigrams: doc1 'a b a' -> (a,b), (b,a);
+    doc2 'a b b' -> (a,b), (b,b).
+    c1: a·=2, b·=2.  c2: (a,b)=2, (b,a)=1, (b,b)=1.  V=2 ('a','b').
+    p(b|a) = (2+1)/(2+2) = 0.75
+    p(a|b) = (1+1)/(2+2) = 0.5
+    p(b|b) = (1+1)/(2+2) = 0.5
+    """
+    import math
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a"), Row(doc_id=2, text="a b b")]
+    )
+    out = {r.doc_id: r for r in tx.bigram_logprob(docs).collect()}
+    nll = lambda p: round(-math.log(p), 6)
+    d1 = nll(0.75) + nll(0.5)
+    d2 = nll(0.75) + nll(0.5)
+    assert out[1].n_bigrams == 2 and out[2].n_bigrams == 2
+    assert abs(out[1].nll_total - d1) < 1e-9
+    assert abs(out[2].nll_total - d2) < 1e-9
+    # avg is exact integer micro-NLL floor division
+    assert out[1].avg_nll == (int(round(d1 * 1e6)) // 2) / 1e6
+    # single-token and empty docs produce no bigrams -> absent
+    docs2 = spark.createDataFrame([Row(doc_id=3, text="only"), Row(doc_id=4, text="")])
+    assert tx.bigram_logprob(docs2).count() == 0
