@@ -270,6 +270,70 @@ def q_curation_group_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# Epoch budget: curated src0 runs 2.5 epochs, src1 two, everything
+# else half an epoch — exact rationals (p, q) so quotas are integer
+# arithmetic in both engines.
+EPOCH_RATES = {"src0": (5, 2), "src1": (2, 1)}
+EPOCH_DEFAULT = (1, 2)
+
+_EPOCH_P = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {p}" for s, (p, _) in sorted(EPOCH_RATES.items()))
+    + f" ELSE {EPOCH_DEFAULT[0]} END"
+)
+_EPOCH_Q = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {q}" for s, (_, q) in sorted(EPOCH_RATES.items()))
+    + f" ELSE {EPOCH_DEFAULT[1]} END"
+)
+
+
+@query(
+    "curation_epoch_upsample",
+    oracle=f"""
+WITH c AS (
+  SELECT source, count(*) AS n,
+         ({_EPOCH_P}) AS p, ({_EPOCH_Q}) AS q
+  FROM documents GROUP BY source
+),
+e AS (
+  SELECT source, n,
+         ((n * p) // q) // n AS "full",
+         ((n * p) // q) % n AS rem
+  FROM c
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+),
+fulls AS (
+  SELECT r.doc_id, r.source, CAST(unnest(range(0, e."full")) AS BIGINT) AS epoch
+  FROM r JOIN e USING (source)
+),
+rems AS (
+  SELECT r.doc_id, r.source, CAST(e."full" AS BIGINT) AS epoch
+  FROM r JOIN e USING (source) WHERE r.rn <= e.rem
+)
+SELECT * FROM fulls UNION ALL SELECT * FROM rems
+""",
+)
+def q_curation_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch repetition budget — the hand-tuned mix knob of
+    a pretraining run (curated sources repeated 2-3 epochs, crawl
+    undersampled): quota_s = (n_s * p) div q docs per source, realized
+    as full-epoch repeats of EVERY doc plus a lowest-md5 remainder
+    draw, with the epoch index first-class so the trainer can
+    interleave copies. All-integer rational rates; distinct from the
+    sampling entries because repetition (epochs > 1) multiplies a
+    source instead of thinning it."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.epoch_upsample(docs, EPOCH_RATES, default_rate=EPOCH_DEFAULT)
+
+
 # --- end-to-end curation pipeline ------------------------------------------
 # The daily 100 TB curation job as ONE declarative plan: exact dedup ->
 # per-language quality floor -> source-mixture reweighting -> rollup.

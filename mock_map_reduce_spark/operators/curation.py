@@ -307,3 +307,70 @@ def temperature_mixture(
         .filter(F.col("rn") <= F.col("quota"))
         .select(id_col, group_col)
     )
+
+
+def epoch_upsample(
+    docs: DataFrame,
+    rates: dict[str, tuple[int, int]],
+    default_rate: tuple[int, int] = (1, 2),
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fractional-epoch up/down-sampling WITH repetition — the
+    hand-tuned epoch budget of a pretraining mix (books x2.5, web
+    x0.5): each source s with rate p/q contributes
+    quota_s = (n_s * p) div q  (doc, epoch) rows — every doc repeated
+    for each FULL epoch (epoch = 0..full-1, full = quota div n), plus
+    the remainder epoch's quota mod n lowest-md5 docs at epoch =
+    full. Unlike the sampling operators, repetition is first-class:
+    epochs > 1 multiply a source, and the epoch column lets the
+    trainer interleave copies instead of streaming them back-to-back.
+
+    Rates are exact RATIONALS (p, q), so every quota is one integer
+    multiply + one integer div — no float epoch knob to disagree
+    across engines. Scale: the counts pass is a tiny groupBy(source);
+    full-epoch rows explode by a per-source constant (≤ p/q) riding
+    the scan; only the remainder draw ranks ids within a source, and
+    that shuffle carries (id, source, hash) only.
+    """
+    slim = docs.select(id_col, group_col)
+    counts = slim.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    p = F.lit(default_rate[0])
+    qd = F.lit(default_rate[1])
+    for grp, (pn, qn) in sorted(rates.items()):
+        p = F.when(F.col(group_col) == grp, F.lit(pn)).otherwise(p)
+        qd = F.when(F.col(group_col) == grp, F.lit(qn)).otherwise(qd)
+    # quota = (n * p) div q; full = quota div n; rem = quota mod n
+    plan = counts.select(
+        group_col,
+        "n",
+        ((F.col("n") * p).cast("long")).alias("__np"),
+        qd.cast("long").alias("__q"),
+    ).select(
+        group_col,
+        "n",
+        F.expr("__np div __q").alias("quota"),
+    ).select(
+        group_col,
+        F.expr("quota div n").alias("full"),
+        F.expr("quota % n").alias("rem"),
+    )
+    ranked = slim.withColumn(
+        "rn",
+        F.row_number()
+        .over(
+            Window.partitionBy(group_col).orderBy(
+                row_key_hash(id_col), F.col(id_col)
+            )
+        )
+        .cast("long"),
+    ).join(F.broadcast(plan), group_col)
+    fulls = ranked.filter(F.col("full") > 0).select(
+        id_col,
+        group_col,
+        F.explode(F.expr("sequence(0, full - 1)")).alias("epoch"),
+    )
+    rems = ranked.filter(F.col("rn") <= F.col("rem")).select(
+        id_col, group_col, F.col("full").alias("epoch")
+    )
+    return fulls.unionByName(rems)

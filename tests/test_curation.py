@@ -190,3 +190,25 @@ def test_group_split_keeps_groups_atomic(spark):
 
 def _md5_str(s: str) -> str:
     return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_epoch_upsample_full_and_remainder(spark):
+    # books at 2.5 epochs over 4 docs -> quota 10 = 2 full epochs + 2
+    # remainder docs; web at 1/2 epoch over 6 docs -> quota 3, no full
+    # epoch, 3 lowest-md5 docs at epoch 0.
+    rows = [(i, "books") for i in range(4)] + [(10 + i, "web") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cu.epoch_upsample(docs, {"books": (5, 2)}, default_rate=(1, 2)).collect()
+    books = [(r.doc_id, r.epoch) for r in out if r.source == "books"]
+    web = [(r.doc_id, r.epoch) for r in out if r.source == "web"]
+    assert len(books) == 10 and len(web) == 3
+    # every books doc appears at epochs 0 and 1
+    for d in range(4):
+        assert (d, 0) in books and (d, 1) in books
+    # remainder: the 2 lowest-md5 books docs at epoch 2
+    rem_expect = sorted(range(4), key=lambda d: (_md5(d), d))[:2]
+    assert sorted(d for d, e in books if e == 2) == sorted(rem_expect)
+    # web: 3 lowest-md5 docs, all at epoch 0
+    web_expect = sorted(range(10, 16), key=lambda d: (_md5(d), d))[:3]
+    assert sorted(d for d, e in web) == sorted(web_expect)
+    assert all(e == 0 for _, e in web)
