@@ -67,9 +67,11 @@ HEADLINE = [
     # round 7: embedding-space semantic dedup (SemDeDup)
     "dedup_semantic_semdedup",
     # round 8: unbounded (message-bus-shaped) source family; the
-    # small-file OPTIMIZE maintenance job (write-heavy by design)
+    # small-file OPTIMIZE maintenance job (write-heavy by design);
+    # the bigram-LM perplexity filter (corpus model train + score)
     "streaming_rate_source_agg",
     "layout_compact_small_files",
+    "text_bigram_logprob",
 ]
 
 

@@ -149,6 +149,8 @@ _BOUNDED_BNLJ = {
     "similarity_ann_recall",  # 5-query broadcast sample × corpus (the exact eval baseline)
     "similarity_knn_label_accuracy",  # 50-query broadcast sample × corpus (same)
     "embedding_label_centroid_cosines",  # label-count² pair join (≤10 centroids a side)
+    "curation_temperature_mixture",  # 1-row (corpus_n, denom) totals crossJoin onto the source-count table
+    "text_bigram_logprob",  # 1-row vocab-size crossJoin broadcast onto the bigram stream
 }
 
 
