@@ -31,7 +31,7 @@ BM25_TERMS = ("spark", "merge", "window")
 _K1, _B, _K = 1.2, 0.75, 10
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(k: int = _K) -> str:
     tf_cols = ",\n         ".join(
         f"len(list_filter(w, x -> x = '{t}')) AS tf_{i}" for i, t in enumerate(BM25_TERMS)
     )
@@ -74,7 +74,7 @@ SELECT doc_id, dl, bm25, rank FROM (
   SELECT doc_id, dl, bm25,
          ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
   FROM scored
-) WHERE rank <= {_K}
+) WHERE rank <= {k}
 """
 
 
@@ -194,3 +194,82 @@ def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sgn").cast("long").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion ------------------------------
+
+RRF_K = 60     # the canonical RRF constant (Cormack et al.)
+RRF_DEPTH = 50  # depth of each retriever's candidate list
+RRF_OUT = 20
+
+
+def _hybrid_rrf_oracle() -> str:
+    from mock_map_reduce_spark.catalog.similarity import _V, _cos
+
+    return f"""
+WITH lex AS (
+  SELECT doc_id, rank AS rank_lex FROM ({_bm25_oracle(RRF_DEPTH)})
+),
+{_V},
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+scored AS (
+  SELECT v.vec_id AS doc_id, {_cos("qe", "v.e")} AS cos
+  FROM v CROSS JOIN q WHERE v.vec_id <> 0
+),
+sem AS (
+  SELECT doc_id, rank_sem FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rank_sem
+    FROM scored
+  ) WHERE rank_sem <= {RRF_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         lex.rank_lex, sem.rank_sem,
+         COALESCE(1.0 / ({RRF_K} + lex.rank_lex), 0.0)
+           + COALESCE(1.0 / ({RRF_K} + sem.rank_sem), 0.0) AS rrf_score
+  FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, rank_lex, rank_sem, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_OUT}
+"""
+
+
+@query("retrieval_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion — the standard RAG
+    recipe: a lexical BM25 list and a dense embedding-cosine list
+    (documents and embeddings align on id in the testdata), fused as
+    rrf = Σ 1/(60 + rank) over the lists each doc appears in, top-20.
+
+    Fuses TRUNCATED top-50 lists, not full rankings — the production
+    shape: the fusion operates on ≤ 2·depth rows, so it costs nothing
+    at any corpus size; each retriever contributes only its own top-k
+    machinery (BM25's bounded TakeOrdered cut; the dense side here is
+    the exact brute-force baseline whose per-query window is the
+    documented O(corpus) eval path — at 100 TB swap in
+    similarity_ann_ivf's partition-pruned candidates, the fusion
+    stage is unchanged). Exactness:
+    ranks are integers from already-hash-exact scorers; each fused
+    score is two IEEE divisions added in fixed written order —
+    bit-identical across engines with no rounding step at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = ir.bm25_topk(docs, BM25_TERMS, k=RRF_DEPTH, k1=_K1, b=_B).select(
+        "doc_id", F.col("rank").alias("rank_lex")
+    )
+    from mock_map_reduce_spark.operators import similarity as sim
+
+    semt = sim.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=RRF_DEPTH
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rank_sem"))
+    fused = lex.join(semt, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_lex",
+        "rank_sem",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_sem")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(RRF_OUT)

@@ -151,3 +151,43 @@ def test_point_in_time_state_planted(spark):
     )
     got = {r.event_id: r.status for r in ts.point_in_time_state(status, facts).collect()}
     assert got == {1: None, 2: "signup", 3: "signup", 4: "error", 5: "signup"}
+
+
+def test_rrf_fusion_semantics(spark):
+    # hand-built rank lists: doc 1 is rank 1 in BOTH lists; doc 2 is
+    # rank 1 lexical only; doc 3 rank 2 semantic only. RRF must put the
+    # both-lists doc first, and absent ranks contribute exactly 0.
+    from pyspark.sql import functions as F
+
+    lex = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank_lex long")
+    sem = spark.createDataFrame([(1, 1), (3, 2)], "doc_id long, rank_sem long")
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_lex")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_sem")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .collect()
+    )
+    assert [r.doc_id for r in fused] == [1, 2, 3]
+    assert abs(fused[0].rrf - 2 / 61) < 1e-15
+    assert abs(fused[1].rrf - 1 / 62) < 1e-15
+
+
+def test_rrf_catalog_query_is_bounded(spark, sf_dir):
+    from mock_map_reduce_spark.catalog.retrieval import q_retrieval_hybrid_rrf, RRF_OUT
+
+    out = q_retrieval_hybrid_rrf(spark, sf_dir)
+    rows = out.collect()
+    assert 0 < len(rows) <= RRF_OUT
+    # deterministic across runs
+    again = q_retrieval_hybrid_rrf(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    # docs in both lists must carry both ranks; single-list docs a null
+    assert any(r.rank_lex is not None and r.rank_sem is None for r in rows) or any(
+        r.rank_sem is not None and r.rank_lex is None for r in rows
+    )
