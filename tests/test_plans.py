@@ -151,6 +151,7 @@ _BOUNDED_BNLJ = {
     "embedding_label_centroid_cosines",  # label-count² pair join (≤10 centroids a side)
     "curation_temperature_mixture",  # 1-row (corpus_n, denom) totals crossJoin onto the source-count table
     "text_bigram_logprob",  # 1-row vocab-size crossJoin broadcast onto the bigram stream
+    "retrieval_hybrid_rrf",  # inherits bm25's 1-row stats + bruteforce's 1-query broadcast crossJoins
 }
 
 
