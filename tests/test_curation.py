@@ -212,3 +212,22 @@ def test_epoch_upsample_full_and_remainder(spark):
     web_expect = sorted(range(10, 16), key=lambda d: (_md5(d), d))[:3]
     assert sorted(d for d, e in web) == sorted(web_expect)
     assert all(e == 0 for _, e in web)
+
+
+def test_temperature_mixture_single_source_degenerates_to_budget(spark):
+    # one source: w = denom, so the quota is exactly the global budget
+    docs = spark.createDataFrame([(i, "only") for i in range(40)], "doc_id long, source string")
+    out = cu.temperature_mixture(docs, budget_den=10).collect()
+    assert len(out) == 4  # 40 div 10
+    expect = sorted(range(40), key=lambda d: (_md5(d), d))[:4]
+    assert sorted(r.doc_id for r in out) == sorted(expect)
+
+
+def test_epoch_upsample_zero_rate_drops_source(spark):
+    # p=0 -> quota 0 -> a source can be excluded entirely by its rate
+    rows = [(i, "keep") for i in range(4)] + [(10 + i, "drop") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cu.epoch_upsample(docs, {"keep": (1, 1), "drop": (0, 1)}).collect()
+    assert {r.source for r in out} == {"keep"}
+    # exactly one full epoch of 'keep', no remainder
+    assert sorted((r.doc_id, r.epoch) for r in out) == [(i, 0) for i in range(4)]
