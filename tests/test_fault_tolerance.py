@@ -63,3 +63,52 @@ def test_task_retry_reexecutes_failed_partition():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "RETRY OK" in out.stdout
+
+
+_CURATION_SCRIPT = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[4, 2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+)
+
+
+def flaky(it):
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    if ctx.partitionId() == 0 and ctx.attemptNumber() == 0:
+        raise RuntimeError("injected first-attempt failure")
+    yield from it
+
+from mock_map_reduce_spark.operators import curation as cu
+
+rows = [(i, f"src{i % 4}") for i in range(200)]
+clean = spark.createDataFrame(rows, "doc_id long, source string")
+flaked = spark.createDataFrame(
+    clean.rdd.repartition(4).mapPartitions(flaky), "doc_id long, source string"
+)
+want = sorted(tuple(r) for r in cu.temperature_mixture(clean).collect())
+got = sorted(tuple(r) for r in cu.temperature_mixture(flaked).collect())
+assert want == got and len(want) > 0, (len(want), len(got))
+print("CURATION RETRY OK")
+"""
+
+
+def test_curation_sample_is_retry_deterministic():
+    """The curation reproducibility contract under the fault story:
+    an md5-keyed sample must survive task re-execution bit-for-bit —
+    no RNG state or row-order dependence for a retry to perturb."""
+    out = subprocess.run(
+        [sys.executable, "-c", _CURATION_SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "CURATION RETRY OK" in out.stdout
