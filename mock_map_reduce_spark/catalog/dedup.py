@@ -724,3 +724,80 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_spans(
         load_table(spark, sf_dir, "documents"), w=SPAN_W, max_occ=SPAN_MAX_OCC
     )
+
+
+RECALL_FLOOR = 0.1  # ground-truth pair floor for the recall audit
+
+
+@query(
+    "dedup_lsh_recall_by_jaccard",
+    oracle=f"""
+WITH {_TOKS},
+{_GRAMS},
+stop AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > {MAX_DOC_FREQ}),
+kept AS (SELECT doc_id, gram FROM grams ANTI JOIN stop USING (gram)),
+sizes AS (SELECT doc_id, count(*) AS ng FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
+  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT id_a, id_b, CAST(ns AS DOUBLE) / (sa.ng + sb.ng - ns) AS jaccard
+  FROM shared
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(ns AS DOUBLE) / (sa.ng + sb.ng - ns) >= {RECALL_FLOOR}
+),
+{_SIGS},
+{_BANDS},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT t.jaccard,
+         CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS caught
+  FROM truth t LEFT JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+)
+SELECT least(CAST(floor(jaccard * 5) AS BIGINT), 4) AS j_bucket,
+       count(*) AS n_pairs,
+       CAST(sum(caught) AS BIGINT) AS n_caught,
+       CAST(sum(caught) AS DOUBLE) / count(*) AS recall
+FROM j GROUP BY 1
+""",
+)
+def q_dedup_lsh_recall_by_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall audit — the measurement a 100 TB dedup run makes
+    BEFORE trusting its candidate generation: empirical catch rate of
+    the (16-hash, 4-band) MinHash-LSH per exact-Jaccard quintile,
+    against the capped inverted-index ground truth (pairs >= 0.1).
+    Theory says P(candidate | s) = 1 - (1 - s^4)^4 — near-1 for the
+    planted ~0.99 dups, tiny at background similarity; this query puts
+    the S-curve itself in the hash gate (the dedup twin of
+    similarity_ann_recall). Integer counts + one division per bucket;
+    the bucket floor is over a single-division double — engine-exact.
+
+    Scale: both inputs are the already-bounded parents (stop-shingle
+    cap on truth, band-bucket generation on candidates); the audit
+    join is pair-list x pair-list, a shadow of either parent's cost."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = dd.ngram_jaccard_pairs(
+        docs, NGRAM, RECALL_FLOOR, max_doc_freq=MAX_DOC_FREQ
+    )
+    cand = dd.lsh_candidate_pairs(docs, NUM_HASHES, BANDS, NGRAM, use_md5=True)
+    flagged = truth.join(
+        cand.withColumn("caught", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    bucket = F.least(F.floor(F.col("jaccard") * 5), F.lit(4)).cast("long")
+    return (
+        flagged.groupBy(bucket.alias("j_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.coalesce(F.col("caught"), F.lit(0))).cast("long").alias("n_caught"),
+        )
+        .withColumn(
+            "recall", F.col("n_caught").cast("double") / F.col("n_pairs")
+        )
+    )

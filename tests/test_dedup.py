@@ -303,3 +303,30 @@ def test_duplicate_spans_planted_and_merged(spark):
     assert 4 not in spans
     # every doc contributes at most this one maximal span here
     assert len(dd.duplicate_spans(docs, w=8).collect()) == 3
+
+
+def test_lsh_recall_audit_catches_planted_dups(spark):
+    """Near-identical docs land in the top Jaccard bucket with recall
+    1.0 (16-hash/4-band theory: P(candidate) ~ 1 at s ~ 0.97)."""
+    from pyspark.sql import functions as F
+
+    # tokens must be pure alpha — the tokenizer strips digits
+    base = " ".join(f"t{chr(97 + i // 26)}{chr(97 + i % 26)}" for i in range(40))
+    rows = [
+        (1, base),
+        (2, base + " extra"),          # jaccard ~ 0.97 vs doc 1
+        (3, " ".join(f"other{i}" for i in range(40))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    truth = dd.ngram_jaccard_pairs(docs, 3, 0.1, max_doc_freq=64)
+    cand = dd.lsh_candidate_pairs(docs, 16, 4, 3, use_md5=True)
+    flagged = truth.join(cand.withColumn("caught", F.lit(1)), ["id_a", "id_b"], "left")
+    got = {
+        r.j_bucket: (r.n_pairs, r.caught_sum)
+        for r in flagged.groupBy(
+            F.least(F.floor(F.col("jaccard") * 5), F.lit(4)).cast("long").alias("j_bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum(F.coalesce("caught", F.lit(0))).alias("caught_sum"))
+        .collect()
+    }
+    assert got == {4: (1, 1)}  # the one planted pair, caught
