@@ -72,6 +72,11 @@ HEADLINE = [
     "streaming_rate_source_agg",
     "layout_compact_small_files",
     "text_bigram_logprob",
+    # round 8 (cont.): the lossless prefix-filter similarity join next
+    # to its probabilistic (LSH) and exhaustive (ngram_jaccard) kin,
+    # and the range-partitioned exact KS drift monitor
+    "dedup_prefix_filter_jaccard",
+    "stat_ks_two_sample",
 ]
 
 

@@ -55,3 +55,4 @@ from mock_map_reduce_spark.catalog import (  # noqa: F401
 # outstanding confirmation debt in the driver's sampled prefix.
 from mock_map_reduce_spark.catalog import layout_bucketed  # noqa: E402,F401
 from mock_map_reduce_spark.catalog import semdedup  # noqa: E402,F401
+from mock_map_reduce_spark.catalog import governance  # noqa: E402,F401

@@ -801,3 +801,42 @@ def q_dedup_lsh_recall_by_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
             "recall", F.col("n_caught").cast("double") / F.col("n_pairs")
         )
     )
+
+
+@query(
+    "dedup_prefix_filter_jaccard",
+    oracle=f"""
+WITH {_TOKS},
+{_GRAMS},
+stop AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > {MAX_DOC_FREQ}),
+kept AS (SELECT doc_id, gram FROM grams ANTI JOIN stop USING (gram)),
+sizes AS (SELECT doc_id, count(*) AS ng FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
+  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(ns AS DOUBLE) / (sa.ng + sb.ng - ns) AS jaccard
+FROM shared
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(ns AS DOUBLE) / (sa.ng + sb.ng - ns) >= {JACCARD_THRESHOLD}
+""",
+)
+def q_dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PPJoin-family prefix-filtered Jaccard join — same contract
+    as dedup_ngram_jaccard (same threshold, same stop-shingle cap,
+    same output), but candidates come from an inverted index over
+    PREFIX grams only: each doc drops its ceil(t*m) - 1 most-frequent
+    grams before the join, provably losing no >=t pair. The oracle is
+    the EXACT share-any-gram join — a single missed pair (a broken
+    prefix bound, a wrong global order) fails the hash, making this
+    the lossless-prune twin of join_bloom_pruned for set similarity.
+    LSH (dedup_lsh_candidates) is the probabilistic alternative;
+    tests/test_dedup.py pins this one generating strictly fewer
+    candidates than the full inverted index on the same corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.prefix_filter_jaccard_pairs(
+        docs, NGRAM, JACCARD_THRESHOLD, max_doc_freq=MAX_DOC_FREQ
+    )

@@ -708,3 +708,102 @@ def q_sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_a") + F.col("n_b") - F.col("n_i")).cast("double")
         ).alias("jaccard_exact"),
     )
+
+
+@query(
+    "stat_ks_two_sample",
+    oracle="""
+WITH g AS (
+  SELECT o_totalprice AS v,
+         CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END AS grp
+  FROM orders
+),
+c AS (
+  SELECT v,
+         COUNT(*) FILTER (WHERE grp = 0) AS c1,
+         COUNT(*) FILTER (WHERE grp = 1) AS c2
+  FROM g GROUP BY v
+),
+t AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM c),
+cum AS (
+  SELECT SUM(c1) OVER (ORDER BY v) AS k1,
+         SUM(c2) OVER (ORDER BY v) AS k2
+  FROM c
+)
+SELECT CAST(t.n1 AS BIGINT) AS n1,
+       CAST(t.n2 AS BIGINT) AS n2,
+       CAST(MAX(ABS(k1 * t.n2 - k2 * t.n1)) AS BIGINT) AS d_num,
+       CAST(MAX(ABS(k1 * t.n2 - k2 * t.n1)) AS DOUBLE)
+         / CAST(t.n1 * t.n2 AS DOUBLE) AS d_stat
+FROM cum CROSS JOIN t
+GROUP BY t.n1, t.n2
+""",
+)
+def q_stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic — the data-DRIFT
+    monitor: did o_totalprice's distribution shift between the pre-
+    and post-1998 order cohorts? D = max_v |F1(v) - F2(v)| computed as
+    a ratio of exact integers: D_num = max_v |cum1(v)*n2 - cum2(v)*n1|
+    over the distinct-value histogram, then ONE IEEE division by
+    n1*n2 — hash-exact across engines (the same all-integer-then-one-
+    division discipline as the Jaccard family).
+
+    The textbook formulation is a cumulative window ORDER BY value
+    with no partition — one task sees every row, the canonical 100 TB
+    scale-killer. Here the empirical CDFs use the range-partitioned
+    prefix-sum idiom (layout_global_row_number generalized from row
+    numbering to arbitrary prefix AGGREGATES): histogram first
+    (groupBy(v) with map-side combine collapses the corpus to the
+    distinct-value table), range-repartition on v, per-partition
+    sums collected (a partition-count-sized driver collect),
+    cumulative offsets broadcast back as a literal map, and the
+    cumsum window runs WITHIN each contiguous range partition. The
+    final agg is a 1-row max. No task ever materializes more than its
+    value range; the only corpus-scale exchange is the histogram's.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .cast("int")
+        .alias("pre"),
+    )
+    c = orders.groupBy("v").agg(
+        F.sum("pre").alias("c1"),
+        F.sum(F.lit(1) - F.col("pre")).alias("c2"),
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    d = (
+        c.repartitionByRange(n_parts, "v")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()  # pin range boundaries: sum and window ONE materialization
+    )
+    sums = {
+        r["__pid"]: (r["s1"] or 0, r["s2"] or 0)
+        for r in d.groupBy("__pid")
+        .agg(F.sum("c1").alias("s1"), F.sum("c2").alias("s2"))
+        .collect()
+    }
+    off1: dict[int, int] = {}
+    off2: dict[int, int] = {}
+    a1 = a2 = 0
+    for pid in sorted(sums):
+        off1[pid], off2[pid] = a1, a2
+        a1 += sums[pid][0]
+        a2 += sums[pid][1]
+    n1, n2 = a1, a2
+    m1 = F.create_map(*[F.lit(x) for pid in sorted(off1) for x in (pid, off1[pid])])
+    m2 = F.create_map(*[F.lit(x) for pid in sorted(off2) for x in (pid, off2[pid])])
+    w = Window.partitionBy("__pid").orderBy("v")
+    cum = d.select(
+        (F.sum("c1").over(w) + m1[F.col("__pid")]).alias("k1"),
+        (F.sum("c2").over(w) + m2[F.col("__pid")]).alias("k2"),
+    )
+    diff = F.abs(F.col("k1") * F.lit(n2) - F.col("k2") * F.lit(n1))
+    return cum.agg(
+        F.lit(n1).cast("long").alias("n1"),
+        F.lit(n2).cast("long").alias("n2"),
+        F.max(diff).cast("long").alias("d_num"),
+        (F.max(diff).cast("double") / F.lit(n1 * n2).cast("double")).alias("d_stat"),
+    )

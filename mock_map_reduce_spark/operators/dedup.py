@@ -796,3 +796,120 @@ def duplicate_spans(
         (F.max("pos") + F.lit(w - 1)).cast("long").alias("span_end"),
         (F.max("pos") + F.lit(w) - F.min("pos")).cast("long").alias("span_words"),
     ).select(id_col, "span_start", "span_end", "span_words")
+
+
+def _prefix_filter_kept_grams(
+    docs: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    max_doc_freq: int | None,
+) -> DataFrame:
+    """(id, gram, gdf) after the stop-gram cap, df attached — the
+    shared input of prefix candidate generation and exact verify."""
+    g = shingles(docs, n, text_col, id_col)
+    gdf = g.groupBy("gram").agg(F.count("*").alias("gdf"))
+    if max_doc_freq is not None:
+        gdf = gdf.filter(F.col("gdf") <= max_doc_freq)
+    # Inner join drops stop grams AND attaches the global frequency in
+    # one gram-keyed pass (the posting-list exchange both consumers of
+    # the shingle lineage below read back).
+    return g.join(gdf, "gram").select(id_col, "gram", "gdf")
+
+
+def prefix_filter_candidates(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+    kept: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate pairs (id_a, id_b, na, nb) from PREFIX grams only.
+
+    Each doc's kept grams sort by the global canonical order
+    (ascending document frequency, gram as tie-break); a doc of m
+    grams contributes only its first m - ceil(t*m) + 1 grams to the
+    inverted index. Theorem (Bayardo et al. 2007 / Xiao et al. 2008):
+    if jaccard(a, b) >= t the intersection has >= ceil(t*max(m_a,
+    m_b)) grams — more than either doc's dropped suffix — so under a
+    common total order the earliest shared gram lands in BOTH
+    prefixes: no >=t pair is lost. A length filter (J >= t forces
+    t*m_a <= m_b <= m_a/t) prunes survivors further, also losslessly.
+    """
+    if kept is None:
+        kept = _prefix_filter_kept_grams(docs, n, text_col, id_col, max_doc_freq)
+    per_doc = kept.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("gdf", "gram"))).alias("gs")
+    )
+    m = F.size("gs")
+    p = (m - F.ceil(m * F.lit(threshold)) + 1).cast("int")
+    pre = per_doc.select(
+        F.col(id_col),
+        m.alias("m"),
+        F.explode(F.slice(F.col("gs"), F.lit(1), p)).alias("pg"),
+    ).select(F.col(id_col), F.col("m"), F.col("pg.gram").alias("gram"))
+    a = pre.select(F.col(id_col).alias("id_a"), F.col("m").alias("ma"), "gram")
+    b = pre.select(F.col(id_col).alias("id_b"), F.col("m").alias("mb"), "gram")
+    return (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("mb").cast("double") >= F.lit(threshold) * F.col("ma"))
+        .filter(F.col("ma").cast("double") >= F.lit(threshold) * F.col("mb"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("ma").alias("na"), F.first("mb").alias("nb"))
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-threshold self-join via PREFIX FILTERING (the
+    AllPairs/PPJoin family: Bayardo et al. 2007, Xiao et al. 2008) —
+    the candidate pruner that needs NO hashing and loses NO pairs.
+
+    Candidates come from ``prefix_filter_candidates`` (see its
+    docstring for the lossless-prefix theorem); survivors get the
+    exact candidate-first Jaccard verify. Output is IDENTICAL to
+    ngram_jaccard_pairs — the prune is semantics-free (same contract
+    as the Bloom join's).
+
+    100 TB note: LSH trades recall for pruning; prefix filtering is
+    LOSSLESS and skew-friendly by construction — the grams that fan
+    out worst (high doc-freq) sort LAST and fall out of every prefix,
+    so the join only ever fans out on rare grams, capped further by
+    ``max_doc_freq``. Candidate count shrinkage vs the full inverted
+    index is pinned by tests/test_dedup.py.
+    """
+    kept = _prefix_filter_kept_grams(docs, n, text_col, id_col, max_doc_freq)
+    cand = prefix_filter_candidates(
+        docs, n, threshold, text_col, id_col, max_doc_freq, kept=kept
+    )
+    # Candidate-first exact verify: explode each pair against doc a's
+    # kept grams, keep the grams doc b also has — intersection counts
+    # scale with candidates, never with the corpus.
+    ga = kept.select(F.col(id_col).alias("id_a"), "gram")
+    gb = kept.select(F.col(id_col).alias("id_b"), "gram")
+    shared = (
+        cand.select("id_a", "id_b")
+        .join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        cand.join(shared, ["id_a", "id_b"])
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -330,3 +330,52 @@ def test_lsh_recall_audit_catches_planted_dups(spark):
         .collect()
     }
     assert got == {4: (1, 1)}  # the one planted pair, caught
+
+
+def test_prefix_filter_matches_exact_join(docs):
+    """Prefix filtering is a lossless prune: identical output to the
+    full inverted-index join at every tested threshold."""
+    for t in (0.3, 0.5, 0.8):
+        exact = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dd.ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        pf = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dd.prefix_filter_jaccard_pairs(docs, threshold=t).collect()
+        }
+        assert pf == exact
+
+
+def test_prefix_filter_prunes_candidates(spark, sf_dir):
+    """On the real corpus the prefix inverted index generates strictly
+    fewer candidate pairs than the share-any-gram index, while the
+    final output still matches the exact join (the lossless claim)."""
+    from pyspark.sql import functions as F
+
+    from mock_map_reduce_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dd.prefix_filter_candidates(docs, threshold=0.5, max_doc_freq=64).count()
+    kept = dd._prefix_filter_kept_grams(docs, 3, "text", "doc_id", 64)
+    a = kept.select(F.col("doc_id").alias("id_a"), "gram")
+    b = kept.select(F.col("doc_id").alias("id_b"), "gram")
+    full = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    assert 0 < cand < full
+    exact = set(
+        (r.id_a, r.id_b)
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=64).collect()
+    )
+    got = set(
+        (r.id_a, r.id_b)
+        for r in dd.prefix_filter_jaccard_pairs(
+            docs, threshold=0.5, max_doc_freq=64
+        ).collect()
+    )
+    assert got == exact
