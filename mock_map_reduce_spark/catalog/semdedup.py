@@ -139,3 +139,70 @@ def q_dedup_semantic_semdedup_kscaled(
     return cl.semdedup(
         emb, SD_TAU, k=k, n_iter=SD_ITER, max_cluster_size=SD_CAP
     )
+
+
+SC_BENCH_MAX_ID = 50  # vec_id < 50 plays the benchmark/eval embedding set
+SC_TAU = 0.35  # semantic-contamination quarantine threshold
+
+
+@query(
+    "dedup_semantic_contamination",
+    oracle=f"""
+WITH {_V},
+bench AS (SELECT vec_id AS bench_id, e AS be FROM v WHERE vec_id < {SC_BENCH_MAX_ID}),
+corp AS (SELECT vec_id, e FROM v WHERE vec_id >= {SC_BENCH_MAX_ID}),
+scored AS (
+  SELECT c.vec_id, b.bench_id, {_cos("c.e", "be")} AS cos
+  FROM corp c CROSS JOIN bench b
+),
+best AS (
+  SELECT vec_id, bench_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id DESC) AS rn
+  FROM scored
+)
+SELECT vec_id, bench_id AS nearest_bench_id, round(cos, 6) AS cosine
+FROM best WHERE rn = 1 AND cos >= {SC_TAU}
+""",
+)
+def q_dedup_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space sibling of
+    dedup_contamination's n-gram overlap: quarantine every corpus
+    vector whose cosine to ANY benchmark/eval embedding reaches
+    SC_TAU, reporting its nearest benchmark neighbor. Paraphrased or
+    re-tokenized eval leakage defeats n-gram matching; this is the
+    embedding-similarity sweep used alongside it in pretraining
+    decontamination.
+
+    Plan shape: the benchmark set (eval suites are tiny next to the
+    corpus) BROADCASTS onto one corpus scan — a bounded
+    BroadcastNestedLoopJoin, never corpus x corpus — and the
+    per-vector best-match is a max-struct groupBy with map-side
+    combine (no window over the corpus). Cost at 100 TB is exactly
+    one scan x |bench| fused multiply-adds per vector; both engines
+    fold dot/norm sequentially left-to-right, so even the unrounded
+    cosines are bit-identical (the similarity catalog's convention).
+    """
+    from pyspark.sql import functions as F
+
+    from mock_map_reduce_spark.operators.similarity import as_double_array, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < SC_BENCH_MAX_ID).select(
+        F.col("vec_id").alias("bench_id"), as_double_array("embedding").alias("be")
+    )
+    corp = emb.filter(F.col("vec_id") >= SC_BENCH_MAX_ID).select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    scored = corp.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        "bench_id",
+        cosine(F.col("e"), F.col("be")).alias("cos"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos"), F.col("bench_id"))).alias("b")
+    )
+    return best.filter(F.col("b.cos") >= SC_TAU).select(
+        "vec_id",
+        F.col("b.bench_id").alias("nearest_bench_id"),
+        F.round(F.col("b.cos"), 6).alias("cosine"),
+    )

@@ -798,39 +798,53 @@ def duplicate_spans(
     ).select(id_col, "span_start", "span_end", "span_words")
 
 
-def _prefix_filter_kept_grams(
+def _prefix_filter_doc_grams(
     docs: DataFrame,
     n: int,
     text_col: str,
     id_col: str,
     max_doc_freq: int | None,
 ) -> DataFrame:
-    """(id, gram, gdf) after the stop-gram cap, df attached — the
-    shared input of prefix candidate generation and exact verify."""
+    """(id, grams) — each doc's kept shingles as ONE array in the
+    global canonical order (ascending document frequency, gram as
+    tie-break; rarest first). The shared input of prefix candidate
+    generation and exact verify; callers materialize it ONCE
+    (localCheckpoint) because its consumers are keyed differently."""
     g = shingles(docs, n, text_col, id_col)
-    gdf = g.groupBy("gram").agg(F.count("*").alias("gdf"))
+    # The grouped posting-list trick (ngram_jaccard_pairs' default
+    # formulation): ONE groupBy(gram) yields both the stop-gram cap
+    # (a size filter on the grouped row) and the document frequency
+    # (the list's own length) — no separate df aggregate and no
+    # gram-keyed join back. The per-doc sort is partition-local and
+    # doc-length-bounded.
+    grouped = g.groupBy("gram").agg(F.collect_list(id_col).alias("ids"))
     if max_doc_freq is not None:
-        gdf = gdf.filter(F.col("gdf") <= max_doc_freq)
-    # Inner join drops stop grams AND attaches the global frequency in
-    # one gram-keyed pass (the posting-list exchange both consumers of
-    # the shingle lineage below read back).
-    return g.join(gdf, "gram").select(id_col, "gram", "gdf")
+        grouped = grouped.filter(F.size("ids") <= max_doc_freq)
+    kept = grouped.select(
+        F.size("ids").alias("gdf"), "gram", F.explode("ids").alias(id_col)
+    )
+    return kept.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("gdf", "gram"))),
+            lambda x: x["gram"],
+        ).alias("grams")
+    )
 
 
 def prefix_filter_candidates(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     n: int = 3,
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_doc_freq: int | None = None,
-    kept: DataFrame | None = None,
+    doc_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs (id_a, id_b, na, nb) from PREFIX grams only.
 
     Each doc's kept grams sort by the global canonical order
-    (ascending document frequency, gram as tie-break); a doc of m
-    grams contributes only its first m - ceil(t*m) + 1 grams to the
+    (ascending document frequency, rarest first); a doc of m grams
+    contributes only its first m - ceil(t*m) + 1 grams to the
     inverted index. Theorem (Bayardo et al. 2007 / Xiao et al. 2008):
     if jaccard(a, b) >= t the intersection has >= ceil(t*max(m_a,
     m_b)) grams — more than either doc's dropped suffix — so under a
@@ -838,24 +852,35 @@ def prefix_filter_candidates(
     prefixes: no >=t pair is lost. A length filter (J >= t forces
     t*m_a <= m_b <= m_a/t) prunes survivors further, also losslessly.
     """
-    if kept is None:
-        kept = _prefix_filter_kept_grams(docs, n, text_col, id_col, max_doc_freq)
-    per_doc = kept.groupBy(id_col).agg(
-        F.sort_array(F.collect_list(F.struct("gdf", "gram"))).alias("gs")
-    )
-    m = F.size("gs")
+    if doc_grams is None:
+        doc_grams = _prefix_filter_doc_grams(docs, n, text_col, id_col, max_doc_freq)
+    m = F.size("grams")
     p = (m - F.ceil(m * F.lit(threshold)) + 1).cast("int")
-    pre = per_doc.select(
+    pre = doc_grams.select(
         F.col(id_col),
         m.alias("m"),
-        F.explode(F.slice(F.col("gs"), F.lit(1), p)).alias("pg"),
-    ).select(F.col(id_col), F.col("m"), F.col("pg.gram").alias("gram"))
-    a = pre.select(F.col(id_col).alias("id_a"), F.col("m").alias("ma"), "gram")
-    b = pre.select(F.col(id_col).alias("id_b"), F.col("m").alias("mb"), "gram")
+        F.explode(F.slice(F.col("grams"), F.lit(1), p)).alias("gram"),
+    )
+    # Pairs emit per prefix-gram posting list with the ordered-suffix
+    # slice-explode (the lsh_candidate_pairs trick) — one groupBy(gram)
+    # exchange instead of a two-sided self-join, O(list) task memory.
+    grouped = pre.groupBy("gram").agg(
+        F.sort_array(F.collect_list(F.struct(F.col(id_col), F.col("m")))).alias("ids")
+    )
+    pairs = (
+        grouped.filter(F.size("ids") > 1)
+        .select("ids", F.posexplode("ids").alias("__i", "a"))
+        .select(
+            F.col("a")[id_col].alias("id_a"),
+            F.col("a")["m"].alias("ma"),
+            F.explode(F.expr("slice(ids, __i + 2, size(ids))")).alias("b"),
+        )
+        .select(
+            "id_a", "ma", F.col("b")[id_col].alias("id_b"), F.col("b")["m"].alias("mb")
+        )
+    )
     return (
-        a.join(b, "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.col("mb").cast("double") >= F.lit(threshold) * F.col("ma"))
+        pairs.filter(F.col("mb").cast("double") >= F.lit(threshold) * F.col("ma"))
         .filter(F.col("ma").cast("double") >= F.lit(threshold) * F.col("mb"))
         .groupBy("id_a", "id_b")
         .agg(F.first("ma").alias("na"), F.first("mb").alias("nb"))
@@ -876,35 +901,39 @@ def prefix_filter_jaccard_pairs(
 
     Candidates come from ``prefix_filter_candidates`` (see its
     docstring for the lossless-prefix theorem); survivors get the
-    exact candidate-first Jaccard verify. Output is IDENTICAL to
-    ngram_jaccard_pairs — the prune is semantics-free (same contract
-    as the Bloom join's).
+    exact verify as an IN-ROW array_intersect over the two docs'
+    materialized gram arrays — two id-keyed joins at candidate
+    cardinality, no per-gram positional shuffle. Output is IDENTICAL
+    to ngram_jaccard_pairs — the prune is semantics-free (same
+    contract as the Bloom join's).
+
+    The doc-gram table is materialized ONCE (localCheckpoint, the
+    semdedup/bpe convention) because its three consumers — the prefix
+    explode and both verify sides — are keyed differently, and
+    without the pin the scan+shingle+df lineage would re-execute per
+    consumer (measured 6.9 s -> ~2 s at sf0.1).
 
     100 TB note: LSH trades recall for pruning; prefix filtering is
     LOSSLESS and skew-friendly by construction — the grams that fan
     out worst (high doc-freq) sort LAST and fall out of every prefix,
     so the join only ever fans out on rare grams, capped further by
-    ``max_doc_freq``. Candidate count shrinkage vs the full inverted
-    index is pinned by tests/test_dedup.py.
+    ``max_doc_freq``. Gram arrays are doc-length-bounded (the
+    collect_list ceiling every posting-list operator here shares).
+    Candidate count shrinkage vs the full inverted index is pinned by
+    tests/test_dedup.py.
     """
-    kept = _prefix_filter_kept_grams(docs, n, text_col, id_col, max_doc_freq)
+    doc_grams = _prefix_filter_doc_grams(
+        docs, n, text_col, id_col, max_doc_freq
+    ).localCheckpoint()
     cand = prefix_filter_candidates(
-        docs, n, threshold, text_col, id_col, max_doc_freq, kept=kept
+        None, n, threshold, text_col, id_col, max_doc_freq, doc_grams=doc_grams
     )
-    # Candidate-first exact verify: explode each pair against doc a's
-    # kept grams, keep the grams doc b also has — intersection counts
-    # scale with candidates, never with the corpus.
-    ga = kept.select(F.col(id_col).alias("id_a"), "gram")
-    gb = kept.select(F.col(id_col).alias("id_b"), "gram")
-    shared = (
-        cand.select("id_a", "id_b")
-        .join(ga, "id_a")
-        .join(gb, ["id_b", "gram"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_shared"))
-    )
+    pa = doc_grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("ga"))
+    pb = doc_grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("gb"))
     return (
-        cand.join(shared, ["id_a", "id_b"])
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn("n_shared", F.size(F.array_intersect("ga", "gb")))
         .withColumn(
             "jaccard",
             F.col("n_shared").cast("double")

@@ -185,3 +185,28 @@ def test_semdedup_threshold_one_keeps_everything(planted):
     # planted vectors are near- but not exactly-identical: cos < 1.0
     out = {r.vec_id: r.kept for r in cl.semdedup(planted, 1.0, k=2, n_iter=2).collect()}
     assert out == {i: 1 for i in range(6)}
+
+
+def test_semantic_contamination_flags_planted_leak(spark, tmp_path):
+    """A corpus vector nearly parallel to a benchmark vector is
+    quarantined with that vector as its nearest neighbor; an
+    orthogonal one is not. Runs the catalog query end-to-end on a
+    synthetic embeddings table written to parquet."""
+    from mock_map_reduce_spark.catalog.semdedup import (
+        SC_BENCH_MAX_ID,
+        q_dedup_semantic_contamination,
+    )
+
+    dim = 8
+    bench_vec = [1.0] + [0.0] * (dim - 1)
+    leak = [0.99] + [0.141] + [0.0] * (dim - 2)  # cos ~ 0.990 to bench 0
+    clean = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)  # orthogonal
+    rows = [(0, bench_vec, 0), (SC_BENCH_MAX_ID + 1, leak, 0), (SC_BENCH_MAX_ID + 2, clean, 0)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r.vec_id: r for r in q_dedup_semantic_contamination(spark, str(tmp_path)).collect()}
+    assert set(out) == {SC_BENCH_MAX_ID + 1}
+    assert out[SC_BENCH_MAX_ID + 1].nearest_bench_id == 0
+    assert out[SC_BENCH_MAX_ID + 1].cosine > 0.95

@@ -357,7 +357,9 @@ def test_prefix_filter_prunes_candidates(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     cand = dd.prefix_filter_candidates(docs, threshold=0.5, max_doc_freq=64).count()
-    kept = dd._prefix_filter_kept_grams(docs, 3, "text", "doc_id", 64)
+    kept = dd._prefix_filter_doc_grams(docs, 3, "text", "doc_id", 64).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
     a = kept.select(F.col("doc_id").alias("id_a"), "gram")
     b = kept.select(F.col("doc_id").alias("id_b"), "gram")
     full = (

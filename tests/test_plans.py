@@ -152,6 +152,7 @@ _BOUNDED_BNLJ = {
     "curation_temperature_mixture",  # 1-row (corpus_n, denom) totals crossJoin onto the source-count table
     "text_bigram_logprob",  # 1-row vocab-size crossJoin broadcast onto the bigram stream
     "retrieval_hybrid_rrf",  # inherits bm25's 1-row stats + bruteforce's 1-query broadcast crossJoins
+    "dedup_semantic_contamination",  # bounded benchmark embedding set broadcast onto one corpus scan
 }
 
 

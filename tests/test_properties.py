@@ -193,3 +193,89 @@ def test_merge_into_matches_dict_model(spark, base_map, feed_map):
     rows = merge_into(base, changes, "k").collect()
     assert len(rows) == len({r.k for r in rows})  # one row per key
     assert {r.k: r.v for r in rows} == expect
+
+
+# Word-soup generator for the set-similarity properties: a tiny shared
+# vocabulary maximizes shingle collisions (the adversarial regime for
+# prefix filtering — every gram is common, prefixes collide a lot).
+_WORDS = st.lists(
+    st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split()),
+    min_size=0,
+    max_size=12,
+)
+CORPORA = st.lists(_WORDS, min_size=2, max_size=7)
+
+
+@given(CORPORA, st.sampled_from([0.3, 0.5, 0.8]))
+@PROP_SETTINGS
+def test_prefix_filter_lossless_on_random_corpora(spark, corpora, t):
+    """The PPJoin prefix prune must lose NO pair at any threshold on
+    arbitrary small-vocabulary corpora (the collision-heavy worst
+    case) — output identical to the exhaustive share-any-gram join,
+    including when docs are empty, identical, or sub-shingle-length."""
+    from mock_map_reduce_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(corpora)]
+    )
+    exact = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in dd.ngram_jaccard_pairs(docs, threshold=t).collect()
+    }
+    pf = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in dd.prefix_filter_jaccard_pairs(docs, threshold=t).collect()
+    }
+    assert pf == exact
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=25),
+    st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=25),
+)
+@PROP_SETTINGS
+def test_ks_prefix_sum_matches_bisect_model(spark, s1, s2):
+    """The range-partitioned KS construction equals the textbook
+    bisect-based statistic on arbitrary integer samples (ties across
+    and within cohorts included)."""
+    import bisect
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [Row(v=float(v), pre=1) for v in s1] + [Row(v=float(v), pre=0) for v in s2]
+    df = spark.createDataFrame(rows)
+    c = df.groupBy("v").agg(
+        F.sum("pre").alias("c1"), F.sum(F.lit(1) - F.col("pre")).alias("c2")
+    )
+    d = (
+        c.repartitionByRange(3, "v")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sums = {
+        r["__pid"]: (r["s1"] or 0, r["s2"] or 0)
+        for r in d.groupBy("__pid")
+        .agg(F.sum("c1").alias("s1"), F.sum("c2").alias("s2"))
+        .collect()
+    }
+    off1, off2, a1, a2 = {}, {}, 0, 0
+    for pid in sorted(sums):
+        off1[pid], off2[pid] = a1, a2
+        a1 += sums[pid][0]
+        a2 += sums[pid][1]
+    m1 = F.create_map(*[F.lit(x) for p in sorted(off1) for x in (p, off1[p])])
+    m2 = F.create_map(*[F.lit(x) for p in sorted(off2) for x in (p, off2[p])])
+    w = Window.partitionBy("__pid").orderBy("v")
+    cum = d.select(
+        (F.sum("c1").over(w) + m1[F.col("__pid")]).alias("k1"),
+        (F.sum("c2").over(w) + m2[F.col("__pid")]).alias("k2"),
+    )
+    got = cum.agg(F.max(F.abs(F.col("k1") * a2 - F.col("k2") * a1))).collect()[0][0]
+    x1, x2 = sorted(s1), sorted(s2)
+    want = max(
+        abs(bisect.bisect_right(x1, v) * len(s2) - bisect.bisect_right(x2, v) * len(s1))
+        for v in set(s1) | set(s2)
+    )
+    assert (a1, a2) == (len(s1), len(s2))
+    assert got == want
