@@ -73,9 +73,11 @@ HEADLINE = [
     "layout_compact_small_files",
     "text_bigram_logprob",
     # round 8 (cont.): the lossless prefix-filter similarity join next
-    # to its probabilistic (LSH) and exhaustive (ngram_jaccard) kin,
+    # to its probabilistic (LSH) and exhaustive (ngram_jaccard) kin —
+    # benched at the production t=0.8 operating point (the t=0.5
+    # output-identity entry carries the regime analysis in PLANS.md) —
     # and the range-partitioned exact KS drift monitor
-    "dedup_prefix_filter_jaccard",
+    "dedup_prefix_filter_jaccard_strict",
     "stat_ks_two_sample",
 ]
 

@@ -840,3 +840,44 @@ def q_dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     return dd.prefix_filter_jaccard_pairs(
         docs, NGRAM, JACCARD_THRESHOLD, max_doc_freq=MAX_DOC_FREQ
     )
+
+
+STRICT_JACCARD = 0.8  # production near-dup threshold (the 0.7-0.9 regime)
+
+
+@query(
+    "dedup_prefix_filter_jaccard_strict",
+    oracle=f"""
+WITH {_TOKS},
+{_GRAMS},
+stop AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > {MAX_DOC_FREQ}),
+kept AS (SELECT doc_id, gram FROM grams ANTI JOIN stop USING (gram)),
+sizes AS (SELECT doc_id, count(*) AS ng FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
+  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(ns AS DOUBLE) / (sa.ng + sb.ng - ns) AS jaccard
+FROM shared
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(ns AS DOUBLE) / (sa.ng + sb.ng - ns) >= {STRICT_JACCARD}
+""",
+)
+def q_dedup_prefix_filter_jaccard_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prefix-filter join at the PRODUCTION near-dup threshold
+    (t=0.8, the 0.7-0.9 regime real crawl dedup runs at): each doc
+    sheds its ceil(0.8*m) - 1 most frequent grams, leaving a ~m/5
+    prefix — on this corpus a 29x-smaller candidate set than the full
+    inverted index (vs 4x at the t=0.5 demonstration entry, whose
+    docstring carries the regime analysis). Same lossless-prune
+    contract, same exact share-any-gram oracle, stricter WHERE.
+    This is the bench headliner for the family: t=0.5 exists to prove
+    output-identity with dedup_ngram_jaccard on a shared threshold;
+    t=0.8 is the operating point.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.prefix_filter_jaccard_pairs(
+        docs, NGRAM, STRICT_JACCARD, max_doc_freq=MAX_DOC_FREQ
+    )
