@@ -807,3 +807,83 @@ def q_stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(diff).cast("long").alias("d_num"),
         (F.max(diff).cast("double") / F.lit(n1 * n2).cast("double")).alias("d_stat"),
     )
+
+
+_PSI_W = 50000  # fixed bucket width, histogram_totalprice's convention
+
+
+@query(
+    "stat_psi_drift",
+    oracle=f"""
+WITH g AS (
+  SELECT CAST(floor(o_totalprice / {_PSI_W}) AS BIGINT) AS bucket,
+         CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS pre
+  FROM orders
+),
+c AS (
+  SELECT bucket,
+         CAST(SUM(pre) AS BIGINT) AS c1,
+         CAST(SUM(1 - pre) AS BIGINT) AS c2
+  FROM g GROUP BY bucket
+),
+t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(COUNT(*) AS BIGINT) AS nb FROM c),
+p AS (
+  SELECT bucket, c1, c2, n1, n2, nb,
+         (c1 + 0.5) / (n1 + 0.5 * nb) AS p1,
+         (c2 + 0.5) / (n2 + 0.5 * nb) AS p2
+  FROM c CROSS JOIN t
+)
+SELECT bucket, c1, c2, n1, n2, nb,
+       CAST(round(ln(p1 / p2) * 1000000) AS BIGINT) AS l_micro,
+       CAST(round((p1 - p2) * 1000000000) AS BIGINT) AS d_nano,
+       CAST(round(ln(p1 / p2) * 1000000) AS BIGINT)
+         * CAST(round((p1 - p2) * 1000000000) AS BIGINT) AS term_femto
+FROM p
+""",
+)
+def q_stat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index — the BINNED drift monitor beside
+    stat_ks_two_sample's sup-norm: per fixed-width o_totalprice
+    bucket (histogram_totalprice's width), the pre-/post-1998 cohort
+    shares with +0.5 Laplace smoothing (so a bucket empty on one side
+    contributes a finite term), and the per-bucket PSI term
+    (p1 - p2) * ln(p1/p2) in integer femto-units. PSI itself is
+    sum(term_femto) / 1e15 (pinned against an independent Python
+    model in test_governance; > 0.25 is the conventional "major
+    shift" alarm).
+
+    Exactness: cohort shares are ratios of exact integers (identical
+    doubles in both engines); ln's last-ulp engine skew is quantized
+    away by micro-unit rounding (text_bigram_logprob's discipline),
+    and the term product is exact int64 x int64. Plan: ONE map-side-
+    combinable groupBy at bucket cardinality, a 1-row totals
+    crossJoin broadcast back, and everything after runs on the
+    bucket-count-sized table. The monitor's cost is the fact scan.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") / _PSI_W).cast("long").alias("bucket"),
+        (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .cast("int")
+        .alias("pre"),
+    )
+    c = o.groupBy("bucket").agg(
+        F.sum("pre").cast("long").alias("c1"),
+        F.sum(F.lit(1) - F.col("pre")).cast("long").alias("c2"),
+    )
+    t = c.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    p = c.crossJoin(F.broadcast(t))
+    p1 = (F.col("c1") + 0.5) / (F.col("n1") + 0.5 * F.col("nb"))
+    p2 = (F.col("c2") + 0.5) / (F.col("n2") + 0.5 * F.col("nb"))
+    l_micro = F.round(F.log(p1 / p2) * 1000000).cast("long")
+    d_nano = F.round((p1 - p2) * 1000000000).cast("long")
+    return p.select(
+        "bucket", "c1", "c2", "n1", "n2", "nb",
+        l_micro.alias("l_micro"),
+        d_nano.alias("d_nano"),
+        (l_micro * d_nano).alias("term_femto"),
+    )

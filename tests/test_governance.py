@@ -119,3 +119,36 @@ def test_k_anonymity_matches_python_model(spark, sf_dir):
         for r in _collect(spark, sf_dir, "privacy_k_anonymity")
     }
     assert got == expect
+
+
+def test_psi_drift_matches_python_model(spark, sf_dir):
+    import math
+    from collections import Counter
+    from datetime import datetime
+
+    from mock_map_reduce_spark.sources import load_table
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderdate"
+    ).collect()
+    split = datetime(1998, 1, 1)
+    h1, h2 = Counter(), Counter()
+    for r in rows:
+        b = math.floor(r.o_totalprice / 50000)
+        (h1 if r.o_orderdate < split else h2)[b] += 1
+    buckets = sorted(set(h1) | set(h2))
+    n1, n2, nb = sum(h1.values()), sum(h2.values()), len(buckets)
+    want = {}
+    for b in buckets:
+        p1 = (h1[b] + 0.5) / (n1 + 0.5 * nb)
+        p2 = (h2[b] + 0.5) / (n2 + 0.5 * nb)
+        lm = round(math.log(p1 / p2) * 1_000_000)
+        dn = round((p1 - p2) * 1_000_000_000)
+        want[b] = (h1[b], h2[b], lm, dn, lm * dn)
+    got = {
+        r.bucket: (r.c1, r.c2, r.l_micro, r.d_nano, r.term_femto)
+        for r in _collect(spark, sf_dir, "stat_psi_drift")
+    }
+    assert got == want
+    psi = sum(v[4] for v in want.values()) / 1e15
+    assert psi >= 0  # PSI is a sum of (p-q)ln(p/q) >= 0 terms

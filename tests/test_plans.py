@@ -153,6 +153,7 @@ _BOUNDED_BNLJ = {
     "text_bigram_logprob",  # 1-row vocab-size crossJoin broadcast onto the bigram stream
     "retrieval_hybrid_rrf",  # inherits bm25's 1-row stats + bruteforce's 1-query broadcast crossJoins
     "dedup_semantic_contamination",  # bounded benchmark embedding set broadcast onto one corpus scan
+    "stat_psi_drift",  # 1-row totals crossJoin broadcast onto the bucket table
 }
 
 
