@@ -81,3 +81,94 @@ def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(small, F.col("n")).otherwise(0)).alias("n_suppressed"),
         F.min("ndv").alias("min_l_diversity"),
     )
+
+
+@query(
+    "privacy_k_anonymity_generalize",
+    oracle=f"""
+WITH qi AS (
+  SELECT c.c_nationkey AS nk,
+         o.o_orderpriority AS pr,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+r AS (
+  SELECT nk, pr, yr, CAST(floor((yr - 1992) / 3) AS BIGINT) AS yb FROM qi
+),
+g0 AS (SELECT nk, pr, yr, count(*) AS n0 FROM r GROUP BY 1, 2, 3),
+g1 AS (SELECT nk, pr, yb, count(*) AS n1 FROM r GROUP BY 1, 2, 3),
+g2 AS (SELECT nk, pr, count(*) AS n2 FROM r GROUP BY 1, 2),
+lv AS (
+  SELECT r.nk,
+         CASE WHEN g0.n0 >= {K_ANON} THEN 0
+              WHEN g1.n1 >= {K_ANON} THEN 1
+              WHEN g2.n2 >= {K_ANON} THEN 2
+              ELSE 3 END AS lvl
+  FROM r
+  JOIN g0 ON r.nk = g0.nk AND r.pr = g0.pr AND r.yr = g0.yr
+  JOIN g1 ON r.nk = g1.nk AND r.pr = g1.pr AND r.yb = g1.yb
+  JOIN g2 ON r.nk = g2.nk AND r.pr = g2.pr
+)
+SELECT nk AS c_nationkey,
+       CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS released_exact_year,
+       CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS released_year_band,
+       CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS released_no_year,
+       CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS suppressed
+FROM lv GROUP BY 1
+""",
+)
+def q_privacy_k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-anonymization ALGORITHM on top of the audit: a
+    generalization LADDER (the Datafly/Incognito full-domain recoding
+    idea) over the year attribute — exact year -> 3-year band -> year
+    dropped — where each row is released at the FIRST rung whose
+    group (computed over all rows at that rung) reaches K_ANON, and
+    suppressed only if even (nation, priority) stays small. Rung
+    counts are monotone because the keys nest, so the ladder is
+    well-defined; the per-nation release profile (how much temporal
+    precision the data keeps) is the query's output — all integers,
+    hash-exact.
+
+    Plan shape: three groupBy aggregates at (nested) QI cardinality
+    — each map-side combinable, each metadata-scale — BROADCAST back
+    onto the single fact scan; the classification is a codegen'd
+    CASE; the final rollup is one exchange at nation cardinality.
+    Cost at 100 TB: one scan of the fact table, as the audit's.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("pr"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    r = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            "pr",
+            "yr",
+            F.floor((F.col("yr") - 1992) / 3).cast("long").alias("yb"),
+        )
+    )
+    g0 = r.groupBy("nk", "pr", "yr").agg(F.count(F.lit(1)).alias("n0"))
+    g1 = r.groupBy("nk", "pr", "yb").agg(F.count(F.lit(1)).alias("n1"))
+    g2 = r.groupBy("nk", "pr").agg(F.count(F.lit(1)).alias("n2"))
+    lv = (
+        r.join(F.broadcast(g0), ["nk", "pr", "yr"])
+        .join(F.broadcast(g1), ["nk", "pr", "yb"])
+        .join(F.broadcast(g2), ["nk", "pr"])
+        .select(
+            "nk",
+            F.when(F.col("n0") >= K_ANON, 0)
+            .when(F.col("n1") >= K_ANON, 1)
+            .when(F.col("n2") >= K_ANON, 2)
+            .otherwise(3)
+            .alias("lvl"),
+        )
+    )
+    return lv.groupBy(F.col("nk").alias("c_nationkey")).agg(
+        F.sum((F.col("lvl") == 0).cast("int")).cast("long").alias("released_exact_year"),
+        F.sum((F.col("lvl") == 1).cast("int")).cast("long").alias("released_year_band"),
+        F.sum((F.col("lvl") == 2).cast("int")).cast("long").alias("released_no_year"),
+        F.sum((F.col("lvl") == 3).cast("int")).cast("long").alias("suppressed"),
+    )

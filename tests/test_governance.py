@@ -152,3 +152,53 @@ def test_psi_drift_matches_python_model(spark, sf_dir):
     assert got == want
     psi = sum(v[4] for v in want.values()) / 1e15
     assert psi >= 0  # PSI is a sum of (p-q)ln(p/q) >= 0 terms
+
+
+def test_k_anonymity_generalize_ladder_model(spark, sf_dir):
+    """The generalization ladder equals an independent Python model:
+    each row released at the first rung whose (nested) group reaches
+    K, suppressed only if even (nation, priority) stays small; rung
+    totals per nation must sum to the nation's row count."""
+    import math
+    from collections import Counter
+
+    from mock_map_reduce_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate"
+    ).collect()
+    cust = {
+        r.c_custkey: r.c_nationkey
+        for r in load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .collect()
+    }
+    rows = []
+    for o in orders:
+        nk = cust.get(o.o_custkey)
+        if nk is None:
+            continue
+        yr = o.o_orderdate.year
+        rows.append((nk, o.o_orderpriority, yr, math.floor((yr - 1992) / 3)))
+    g0 = Counter((nk, pr, yr) for nk, pr, yr, _ in rows)
+    g1 = Counter((nk, pr, yb) for nk, pr, _, yb in rows)
+    g2 = Counter((nk, pr) for nk, pr, _, _ in rows)
+    K = 5
+    expect: dict[int, list[int]] = {}
+    for nk, pr, yr, yb in rows:
+        e = expect.setdefault(nk, [0, 0, 0, 0])
+        if g0[(nk, pr, yr)] >= K:
+            e[0] += 1
+        elif g1[(nk, pr, yb)] >= K:
+            e[1] += 1
+        elif g2[(nk, pr)] >= K:
+            e[2] += 1
+        else:
+            e[3] += 1
+    got = {
+        r.c_nationkey: [
+            r.released_exact_year, r.released_year_band, r.released_no_year, r.suppressed
+        ]
+        for r in _collect(spark, sf_dir, "privacy_k_anonymity_generalize")
+    }
+    assert got == expect
