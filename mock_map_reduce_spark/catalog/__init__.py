@@ -27,6 +27,10 @@ Split by surface area; each module corresponds to a SURVEY.md §2 slice:
     multimodal  — binary-column plumbing
     streaming_queries — watermarked streams driven to completion and
                   oracle-checked against batch SQL
+    layout_bucketed — bucketed-table zero-exchange joins, compaction
+    semdedup    — embedding-space semantic dedup + decontamination
+    governance  — drift monitors (KS in stats; PSI) and privacy
+                  release audits (k-anonymity audit + generalization)
 """
 
 from mock_map_reduce_spark.catalog import (  # noqa: F401
