@@ -194,6 +194,15 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     total_median = round(sum(medians.values()), 3)
+    calib = calibrate()
+    calib_mt = calibrate_mt()
+
+    # STDOUT CONTRACT: exactly one compact JSON line in the r1-r6 shape
+    # the driver parses ({metric, value, unit, queries, sf} + small
+    # scalars). Since round 7 the full diagnostic payload (medians,
+    # min/max spread) had grown past the driver's ~2 KB stdout capture
+    # window and BENCH_r07/r08 recorded "parsed": null — so the
+    # diagnostics now go to a side file and stdout stays small.
     print(
         json.dumps(
             {
@@ -201,16 +210,35 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "sf": sf,
+                "reps": reps,
+                "estimator": "min_of_n",
+                "calib_sec": calib,
+                "calib_mt_sec": calib_mt,
+            },
+            separators=(",", ":"),
+        )
+    )
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "estimator": "min_of_n",
+                "queries": timings,
                 "queries_median": medians,
                 "queries_minmax": minmax,
                 "total_median": total_median,
-                "calib_sec": calibrate(),
-                "calib_mt_sec": calibrate_mt(),
+                "calib_sec": calib,
+                "calib_mt_sec": calib_mt,
                 "reps": reps,
                 "sf": sf,
-            }
+            },
+            fh,
+            indent=2,
         )
-    )
+        fh.write("\n")
 
 
 if __name__ == "__main__":

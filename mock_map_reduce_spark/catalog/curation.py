@@ -192,9 +192,14 @@ def q_curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+# Budget divisor shared by the Spark call and the oracle SQL below —
+# defined ONCE so the two sides cannot silently drift (round-8 ADVICE).
+BUDGET_DEN = 10
+
+
 @query(
     "curation_temperature_mixture",
-    oracle="""
+    oracle=f"""
 WITH c AS (
   SELECT source, count(*) AS n,
          CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
@@ -203,7 +208,7 @@ WITH c AS (
 t AS (SELECT sum(n) AS corpus_n, sum(w) AS denom FROM c),
 q AS (
   SELECT c.source,
-         least(c.n, ((t.corpus_n // 10) * c.w) // t.denom) AS quota
+         least(c.n, ((t.corpus_n // {BUDGET_DEN}) * c.w) // t.denom) AS quota
   FROM c, t
 ),
 r AS (
@@ -231,7 +236,7 @@ def q_curation_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFram
     mul/div) — no float sum whose addition order could flip a floor()
     across engines; selection is exact lowest-md5-rank per source."""
     docs = load_table(spark, sf_dir, "documents")
-    return cu.temperature_mixture(docs, budget_den=10)
+    return cu.temperature_mixture(docs, budget_den=BUDGET_DEN)
 
 
 @query(

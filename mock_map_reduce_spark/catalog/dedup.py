@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from mock_map_reduce_spark.functions.materialize import materialize
 from mock_map_reduce_spark.operators import dedup as dd
 from mock_map_reduce_spark.registry import query
 from mock_map_reduce_spark.sources import load_table
@@ -220,10 +221,10 @@ def q_dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFr
     docs = load_table(spark, sf_dir, "documents")
     # Materialize the signature pipeline ONCE; the candidate generation
     # reuses it instead of re-running shingle+md5 from the raw corpus.
-    sigs = dd.minhash_signatures(docs, NUM_HASHES, NGRAM, use_md5=True).localCheckpoint()
-    cand = dd.lsh_candidate_pairs(
+    sigs = materialize(dd.minhash_signatures(docs, NUM_HASHES, NGRAM, use_md5=True))
+    cand = materialize(dd.lsh_candidate_pairs(
         docs, NUM_HASHES, BANDS, NGRAM, use_md5=True, signatures=sigs
-    ).localCheckpoint()
+    ))
     cand_ids = (
         cand.select(F.col("id_a").alias("doc_id"))
         .unionByName(cand.select(F.col("id_b").alias("doc_id")))

@@ -57,18 +57,22 @@ def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct sensitive values across the nation's groups (1 means
     some group leaks its status to anyone who can name the group).
 
-    Plan shape: broadcast the customer dim onto the orders scan, one
-    map-side-combinable groupBy at QI cardinality (|nations| x
-    |priorities| x |years| — tiny next to the fact table even at
-    100 TB), then a second agg over the group table. The audit's
-    cost IS the fact scan; everything after is metadata-scale.
+    Plan shape: join the customer dim onto the orders scan (no
+    forced broadcast hint — customer scales WITH the fact table in
+    TPC-H, so at 100 TB it may exceed broadcast size; AQE/size
+    thresholds pick broadcast when it fits and fall back to a
+    shuffle join when it doesn't), one map-side-combinable groupBy
+    at QI cardinality (|nations| x |priorities| x |years| — tiny
+    next to the fact table even at 100 TB), then a second agg over
+    the group table. Everything after the scan+join is
+    metadata-scale.
     """
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderpriority", "o_orderstatus",
         F.year("o_orderdate").cast("long").alias("order_year"),
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    qi = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    qi = orders.join(cust, orders.o_custkey == cust.c_custkey)
     g = qi.groupBy("c_nationkey", "o_orderpriority", "order_year").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("o_orderstatus").alias("ndv"),
@@ -131,9 +135,12 @@ def q_privacy_k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFr
 
     Plan shape: three groupBy aggregates at (nested) QI cardinality
     — each map-side combinable, each metadata-scale — BROADCAST back
-    onto the single fact scan; the classification is a codegen'd
-    CASE; the final rollup is one exchange at nation cardinality.
-    Cost at 100 TB: one scan of the fact table, as the audit's.
+    onto the single fact scan (the g0/g1/g2 tables really are
+    bounded by QI cardinality, unlike customer, which is joined
+    with no forced hint for the same reason as the audit query);
+    the classification is a codegen'd CASE; the final rollup is one
+    exchange at nation cardinality. Cost at 100 TB: one scan of the
+    fact table, as the audit's.
     """
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
@@ -142,7 +149,7 @@ def q_privacy_k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFr
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     r = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             F.col("c_nationkey").alias("nk"),
             "pr",

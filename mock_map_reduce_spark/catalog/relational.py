@@ -24,6 +24,7 @@ from mock_map_reduce_spark.operators.relational import (
     star_join,
     top_k_per_group,
 )
+from mock_map_reduce_spark.functions.materialize import materialize
 from mock_map_reduce_spark.registry import query
 from mock_map_reduce_spark.sources import load_table, load_tables
 
@@ -799,13 +800,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the edge side never re-shuffles and the (lineitem-scan →
     # pair-distinct → union) lineage never re-executes per iteration.
     # At 100 TB this is the persisted partitioned edge structure every
-    # Pregel-style engine keeps across supersteps; locally the pin is
-    # localCheckpoint.
-    edges_deg = (
+    # Pregel-style engine keeps across supersteps; the pin is
+    # materialize() (persist or reliable checkpoint — recoverable).
+    edges_deg = materialize(
         edges.join(deg, "src")
         .select("src", "dst", "d")
         .repartition("src")
-        .localCheckpoint()
     )
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
     ranks = deg.crossJoin(F.broadcast(n_nodes)).select(

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from mock_map_reduce_spark.functions.materialize import materialize
 from mock_map_reduce_spark.operators.skew import salted_word_count
 from mock_map_reduce_spark.registry import query
 from mock_map_reduce_spark.sources import load_table, register_views
@@ -437,8 +438,8 @@ def q_layout_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
         .repartitionByRange(n_parts, "o_orderkey")
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()  # pin boundaries: count and number ONE materialization
     )
+    d = materialize(d)  # pin boundaries: count and number ONE materialization
     counts = {
         r["__pid"]: r["c"]
         for r in d.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()

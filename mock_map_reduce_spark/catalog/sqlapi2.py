@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mock_map_reduce_spark.functions.materialize import materialize
 from mock_map_reduce_spark.registry import query
 from mock_map_reduce_spark.sources import register_views
 
@@ -482,17 +483,17 @@ def q_sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     runaway-recursion guard, ~40 rounds here — stays at its default.
 
     The raised row guard is SCOPED (round-8 ADVICE fix): the
-    recursion is forced eagerly via localCheckpoint inside the
+    recursion is forced eagerly via materialize() inside the
     raise/restore window, so later recursive queries in the same
     shared session keep the default runaway-recursion row guard. The
-    checkpointed result is the final GROUPED roll-up (one row per
+    pinned result is the final GROUPED roll-up (one row per
     part), not the ~parts x log2(key) walk.
     """
     register_views(spark, sf_dir)
     prev = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
     try:
-        return spark.sql(_RECURSIVE_HIERARCHY_SQL).localCheckpoint(eager=True)
+        return materialize(spark.sql(_RECURSIVE_HIERARCHY_SQL))
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.cteRecursionRowLimit")

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from mock_map_reduce_spark.functions.materialize import materialize
 from mock_map_reduce_spark.registry import query
 from mock_map_reduce_spark.sources import load_table
 
@@ -777,8 +778,8 @@ def q_stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         c.repartitionByRange(n_parts, "v")
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()  # pin range boundaries: sum and window ONE materialization
     )
+    d = materialize(d)  # pin range boundaries: sum and window ONE materialization
     sums = {
         r["__pid"]: (r["s1"] or 0, r["s2"] or 0)
         for r in d.groupBy("__pid")

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from mock_map_reduce_spark.functions.materialize import materialize
 from mock_map_reduce_spark.functions.partitioning import spread
 from mock_map_reduce_spark.operators.similarity import as_double_array, cosine
 
@@ -99,10 +100,9 @@ def kcenter_init(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < pool_prefix_lt
     )
     first = pool.agg(F.min("vec_id").alias("vec_id"))
-    cents = (
+    cents = materialize(
         pool.join(first, "vec_id")
         .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
-        .localCheckpoint()
     )
     for _ in range(k - 1):
         best = (
@@ -118,9 +118,9 @@ def kcenter_init(
         nxt = pool.join(pick, "vec_id").select(
             F.col("vec_id").alias("cid"), F.col("e").alias("ce")
         )
-        # localCheckpoint per round, same lineage-pinning rationale as
+        # materialize per round, same lineage-pinning rationale as
         # kmeans_lloyd below; values unchanged.
-        cents = cents.unionByName(nxt).localCheckpoint()
+        cents = materialize(cents.unionByName(nxt))
     return cents
 
 
@@ -155,10 +155,10 @@ def kmeans_lloyd(
         # Materialize the k×dim centroid frame each round (it's tiny):
         # without the checkpoint each round's centroids NEST the whole
         # prior round's lineage, so corpus scans grow geometrically
-        # with n_iter — same localCheckpoint-per-round shape as
+        # with n_iter — same materialize-per-round shape as
         # connected_components. Values are unchanged (it only pins
         # already-deterministic results), so the oracle is unaffected.
-        cents = _update(_assign(v, cents)).localCheckpoint()
+        cents = materialize(_update(_assign(v, cents)))
     final = _assign(v, cents)
     return final.select(
         F.col("vec_id").alias(id_col), "cell", F.round("cos", 6).alias("cosine")
@@ -206,14 +206,14 @@ def semdedup(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce")
     )
     for _ in range(n_iter):
-        cents = _update(_assign(v, cents)).localCheckpoint()
+        cents = materialize(_update(_assign(v, cents)))
     # Pin the final assignment: it feeds BOTH sides of the pair join
     # and the final kept-flag join, so without this the k-broadcast
     # cosine argmax over the whole corpus re-executes three times
     # (cut bench time of the catalog entry ~35%). Values are already
     # deterministic; at real scale this is persist(DISK)/a checkpoint
     # to reliable storage rather than an in-memory pin.
-    assigned = _assign(v, cents).localCheckpoint()
+    assigned = materialize(_assign(v, cents))
     if max_cluster_size is not None:
         wc = Window.partitionBy("cell").orderBy("vec_id")
         flagged = assigned.withColumn(
@@ -304,7 +304,7 @@ def power_iteration_pc1(
     for the vocabulary-scale power steps — the split Spark MLlib's
     computePrincipalComponents uses. Driver holds only d×d ints.
     """
-    aq = pca_quantized(vecs, vec_col, q).localCheckpoint()
+    aq = materialize(pca_quantized(vecs, vec_col, q))
     nd = aq.agg(F.count(F.lit(1)).alias("n"), F.max(F.size("aq")).alias("d")).first()
     n, d = int(nd["n"]), int(nd["d"])
 
@@ -430,11 +430,11 @@ def train_hinge_classifier(
     Scale: each step is ONE corpus pass — the k gradient sums
     partial-aggregate map-side and the weights travel as literals in
     the task closures (k doubles); the driver holds only the k-vector
-    between steps (same contract as kmeans centroids). localCheckpoint
+    between steps (same contract as kmeans centroids). materialize
     pins the feature frame once; steps never re-derive it.
     """
     spark = feats.sparkSession
-    f = feats.localCheckpoint()
+    f = materialize(feats)
     gw = [0] * n_features
 
     def margin_num():

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from mock_map_reduce_spark.functions.materialize import materialize
 from mock_map_reduce_spark.functions.partitioning import spread as _spread
 
 # Normalized tokens for fuzzy dedup: lowercase alphabetic runs.
@@ -595,15 +596,15 @@ def connected_components(
     # Materialize edges and seed labels ONCE: without the checkpoint,
     # every round's convergence check would re-execute the full edge
     # lineage (e.g. the whole LSH pipeline) from scratch — k rounds of
-    # O(k) recomputes. localCheckpoint truncates lineage so each round
+    # O(k) recomputes. materialize pins the result so each round
     # is exactly one join + agg over materialized inputs.
-    sym = (
+    sym = materialize(
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    ).localCheckpoint()
-    labels = ids.select(
+    )
+    labels = materialize(ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("component")
-    ).localCheckpoint()
+    ))
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -618,7 +619,8 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
             )
-        ).localCheckpoint()
+        )
+        new_labels = materialize(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -809,7 +811,7 @@ def _prefix_filter_doc_grams(
     global canonical order (ascending document frequency, gram as
     tie-break; rarest first). The shared input of prefix candidate
     generation and exact verify; callers materialize it ONCE
-    (localCheckpoint) because its consumers are keyed differently."""
+    (materialize) because its consumers are keyed differently."""
     g = shingles(docs, n, text_col, id_col)
     # The grouped posting-list trick (ngram_jaccard_pairs' default
     # formulation): ONE groupBy(gram) yields both the stop-gram cap
@@ -907,7 +909,7 @@ def prefix_filter_jaccard_pairs(
     to ngram_jaccard_pairs — the prune is semantics-free (same
     contract as the Bloom join's).
 
-    The doc-gram table is materialized ONCE (localCheckpoint, the
+    The doc-gram table is materialized ONCE (materialize(), the
     semdedup/bpe convention) because its three consumers — the prefix
     explode and both verify sides — are keyed differently, and
     without the pin the scan+shingle+df lineage would re-execute per
@@ -922,9 +924,9 @@ def prefix_filter_jaccard_pairs(
     Candidate count shrinkage vs the full inverted index is pinned by
     tests/test_dedup.py.
     """
-    doc_grams = _prefix_filter_doc_grams(
+    doc_grams = materialize(_prefix_filter_doc_grams(
         docs, n, text_col, id_col, max_doc_freq
-    ).localCheckpoint()
+    ))
     cand = prefix_filter_candidates(
         None, n, threshold, text_col, id_col, max_doc_freq, doc_grams=doc_grams
     )

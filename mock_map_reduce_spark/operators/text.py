@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from mock_map_reduce_spark.functions.materialize import materialize
 from mock_map_reduce_spark.functions.partitioning import spread
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -545,7 +546,7 @@ def bpe_train(
     per round: one codegen'd pair explode + partial-agg'd count, a
     1-row TakeOrdered collect (the driver-side merge decision, same
     scalar pattern as k-means convergence), and a column rewrite.
-    localCheckpoint pins each round's vocabulary so lineage doesn't
+    materialize pins each round's vocabulary so plan size doesn't
     grow with n_merges.
     """
     spark = docs_in.sparkSession
@@ -556,10 +557,10 @@ def bpe_train(
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
-    seqs = wf.select(
+    seqs = materialize(wf.select(
         "freq",
         F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
-    ).localCheckpoint()
+    ))
 
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
@@ -596,7 +597,7 @@ def bpe_train(
             F.lit(padded_pair),
             F.lit(padded_token),
         )
-        seqs = seqs.select("freq", F.trim(applied).alias("seq")).localCheckpoint()
+        seqs = materialize(seqs.select("freq", F.trim(applied).alias("seq")))
 
     return spark.createDataFrame(
         merges, "merge_rank int, pair string, token string, c bigint"

@@ -56,7 +56,9 @@ def test_ks_identical_samples_zero(spark):
         F.sum("pre").alias("c1"), F.sum(F.lit(1) - F.col("pre")).alias("c2")
     )
     d = c.repartitionByRange(4, "v").withColumn("__pid", F.spark_partition_id())
-    d = d.localCheckpoint()
+    from mock_map_reduce_spark.functions.materialize import materialize
+
+    d = materialize(d)
     sums = {
         r["__pid"]: (r["s1"] or 0, r["s2"] or 0)
         for r in d.groupBy("__pid")

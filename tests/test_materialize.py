@@ -1,0 +1,54 @@
+"""materialize() — the fault-tolerant pin replacing localCheckpoint.
+
+Three contracts:
+  1. result values are the input's values (it only pins, never alters);
+  2. without a checkpoint dir it persists WITH lineage retained (the
+     fault-tolerance fix: a lost executor recomputes instead of
+     failing the job) and evaluates eagerly;
+  3. with a reliable checkpoint dir configured it returns a
+     checkpointed frame (lineage cut onto the reliable FS).
+"""
+
+from pyspark.sql import functions as F
+
+from mock_map_reduce_spark.functions.materialize import materialize
+
+
+def test_materialize_preserves_values(spark):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    out = materialize(df)
+    assert sorted(r["v"] for r in out.collect()) == [2 * i for i in range(100)]
+
+
+def test_materialize_persist_path_keeps_lineage(spark):
+    assert spark.sparkContext.getCheckpointDir() is None
+    df = spark.range(50).withColumn("v", F.col("id") + 1)
+    out = materialize(df)
+    # Persisted (one computation shared by consumers) ...
+    assert out.storageLevel.useMemory or out.storageLevel.useDisk
+    # ... but the logical plan still reaches the source Range — lineage
+    # was NOT truncated, so partition loss is recomputable.
+    assert "Range" in out._jdf.queryExecution().logical().toString()
+    out.unpersist()
+
+
+def test_materialize_checkpoint_path(spark, tmp_path):
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        df = spark.range(20).withColumn("v", F.col("id") * 3)
+        out = materialize(df)
+        # A reliable checkpoint: lineage is truncated (the plan no
+        # longer reaches the Range source) and the backing blocks were
+        # written under the configured reliable dir.
+        assert "Range" not in out._jdf.queryExecution().logical().toString()
+        import glob
+
+        assert glob.glob(str(tmp_path / "ckpt" / "*" / "rdd-*"))
+        assert sorted(r["v"] for r in out.collect()) == [3 * i for i in range(20)]
+    finally:
+        # pyspark has no unsetCheckpointDir; clear via the JVM so other
+        # tests sharing the session see the persist path again.
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+        assert sc.getCheckpointDir() is None

@@ -248,10 +248,11 @@ def test_ks_prefix_sum_matches_bisect_model(spark, s1, s2):
     c = df.groupBy("v").agg(
         F.sum("pre").alias("c1"), F.sum(F.lit(1) - F.col("pre")).alias("c2")
     )
-    d = (
+    from mock_map_reduce_spark.functions.materialize import materialize
+
+    d = materialize(
         c.repartitionByRange(3, "v")
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
     )
     sums = {
         r["__pid"]: (r["s1"] or 0, r["s2"] or 0)

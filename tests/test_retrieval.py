@@ -187,7 +187,9 @@ def test_rrf_catalog_query_is_bounded(spark, sf_dir):
     # deterministic across runs
     again = q_retrieval_hybrid_rrf(spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
-    # docs in both lists must carry both ranks; single-list docs a null
-    assert any(r.rank_lex is not None and r.rank_sem is None for r in rows) or any(
-        r.rank_sem is not None and r.rank_lex is None for r in rows
-    )
+    # Corpus-independent invariant: every fused doc carries at least
+    # one rank. (The old "some doc appears in only ONE list" assertion
+    # was data-dependent on the fixed testdata — round-8 ADVICE — and
+    # is now pinned on a hand-built corpus in
+    # test_rrf_fusion_semantics, where divergence is by construction.)
+    assert all(r.rank_lex is not None or r.rank_sem is not None for r in rows)
