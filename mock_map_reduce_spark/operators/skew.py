@@ -62,3 +62,45 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
     )
     return b.join(s, [key, "__salt"]).drop("__salt")
+
+
+def choose_join_strategy(
+    n_rows: int,
+    n_keys: int,
+    max_per_key: int,
+    small_side_rows: int,
+    broadcast_row_limit: int = 1_000_000,
+    skew_factor: float = 5.0,
+    extreme_factor: float = 64.0,
+) -> str:
+    """Turn ``diag_join_key_skew``'s profile (catalog/stats.py) into a
+    join-strategy decision — the pre-flight rule a 100 TB pipeline
+    applies before committing a fact-side shuffle.
+
+    Returns one of:
+      * ``"broadcast"`` — the small side fits the broadcast budget;
+        skew on the big side is then irrelevant (no shuffle of it).
+      * ``"shuffle"``   — skew_ratio ≈ 1: plain sort-merge/hash join.
+      * ``"aqe_skew_split"`` — a hot key dominates but each hot key's
+        rows are still independently splittable: let AQE's
+        OptimizeSkewedJoin subdivide the hot partitions at runtime
+        (tests/test_aqe_skew.py pins that the split actually fires).
+      * ``"salted"``    — EXTREME skew: pre-scatter the big side over
+        ``num_salts`` sub-keys (``salted_join``). AQE's split works on
+        PARTITION granularity, so once a single key's partition can
+        no longer be subdivided profitably (or the join must avoid an
+        AQE dependency entirely), explicit salting is the reliable
+        fallback — at the cost of replicating the small side.
+
+    The thresholds are deliberately coarse: the decision only needs
+    the order of magnitude, which is why the profile query computes
+    exact integers (no sampling noise to reason about).
+    """
+    if small_side_rows <= broadcast_row_limit:
+        return "broadcast"
+    ratio = (max_per_key * n_keys) / n_rows if n_rows else 1.0
+    if ratio < skew_factor:
+        return "shuffle"
+    if ratio < extreme_factor:
+        return "aqe_skew_split"
+    return "salted"

@@ -104,3 +104,86 @@ def test_skew_split_matches_unskewed_result(spark, skew_confs):
     finally:
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     assert with_split == without
+
+
+def test_diag_decision_drives_aqe_split_with_salt_parity(spark, sf_dir, skew_confs):
+    """End-to-end: the diag_join_key_skew PROFILE decides the strategy,
+    the chosen AQE split actually FIRES on a planted-skew join over the
+    real events table, and the result is row-identical to the explicit
+    salted_join fallback (and to a plain join with the feature off) —
+    the full decision->execution->parity chain, not just config claims.
+
+    (The same chain is re-proven at sf1 by tools/skew_e2e.py; this
+    pins it at test scale.)
+    """
+    from mock_map_reduce_spark.operators.skew import choose_join_strategy, salted_join
+    from mock_map_reduce_spark.sources import load_table
+
+    # Plant a hot key: replicate user 0's events 400x (md5 payload so
+    # the hot partition's bytes, not just rows, cross the threshold).
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    # pad must differ per REPLICA (md5 over event_id + replica index):
+    # 400 identical copies lz4-compress to ~nothing in the shuffle and
+    # the hot partition's BYTES (what the skew rule measures) stay
+    # under the threshold even though its row count is 25x the rest.
+    hot = (
+        ev.filter(F.col("user_id") == 0)
+        .withColumn("__r", F.explode(F.array(*[F.lit(i) for i in range(400)])))
+        .withColumn(
+            "pad",
+            F.md5(F.concat(F.col("event_id").cast("string"), F.col("__r").cast("string"))),
+        )
+        .drop("__r")
+    )
+    fact = ev.withColumn("pad", F.md5(F.col("event_id").cast("string"))).unionByName(
+        hot
+    )
+    # Dim side must reach the SMJ as a BARE shuffle read: a distinct()
+    # here would put an Aggregate between the shuffle and the join,
+    # and OptimizeSkewedJoin only rewrites SMJ(sort(shuffle),
+    # sort(shuffle)) — the veto is Spark being correct (splitting
+    # would break the aggregate's required distribution), but this
+    # test needs the join free to split.
+    dim = spark.range(0, 10_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("w")
+    )
+
+    # 1. Profile the planted fact (same aggregates as diag_join_key_skew).
+    prof = fact.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_per_key"),
+    ).first()
+
+    # 2. Decision: the dim is tiny, so the honest answer is broadcast —
+    # the test forces the shuffle regime (broadcast_row_limit=0) to
+    # exercise the skew branch, and the planted ratio must land there.
+    ratio = prof.max_per_key * prof.n_keys / prof.n_rows
+    assert ratio > 5, f"planting failed: ratio {ratio}"
+    decision = choose_join_strategy(
+        prof.n_rows, prof.n_keys, prof.max_per_key,
+        small_side_rows=dim.count(), broadcast_row_limit=0,
+    )
+    assert decision in ("aqe_skew_split", "salted")
+
+    # 3. AQE path: the split must actually fire on the hot partition.
+    joined = fact.join(dim, "user_id").select("user_id", "event_id", "pad", "w")
+    aqe_rows = {(r.user_id, r.event_id, r.pad, r.w) for r in joined.collect()}
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    body = plan[: plan.find("Initial Plan")] if "Initial Plan" in plan else plan
+    assert "skew=true" in body, body[:2000]
+
+    # 4. Parity: explicit salting and the feature-off plain join agree.
+    salted = salted_join(fact, dim, "user_id").select(
+        "user_id", "event_id", "pad", "w"
+    )
+    salted_rows = {(r.user_id, r.event_id, r.pad, r.w) for r in salted.collect()}
+    assert salted_rows == aqe_rows
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        plain_rows = {
+            (r.user_id, r.event_id, r.pad, r.w) for r in joined.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    assert plain_rows == aqe_rows

@@ -8,30 +8,75 @@ reused exchanges excluded), broadcast joins, nested-loop presence,
 whole-stage-codegen presence, Python-eval presence (the slow lane),
 and TakeOrdered usage.
 
-Usage:  python tools/plan_audit.py [sf_dir]   (default sf0.001 — plan
-shape, not data volume, is what's audited)
+With ``--metrics`` the audit also EXECUTES every query and records the
+measured exchange volume (shuffle bytes written/read, input bytes) per
+query from the Spark REST API — so the 100 TB scale claims ride
+measured bytes, not plan shape alone. Metrics runs default to sf0.01
+(real data volume matters), write machine-readable PLAN_METRICS.json,
+and enforce the DEDUP_SHUFFLE_CEILINGS regression gate: a dedup-family
+query whose shuffle-write volume blows past its pinned ceiling (a
+quadratic blow-up, a lost materialize pin) fails the tool.
+
+Usage:  python tools/plan_audit.py [--metrics] [sf_dir]
+        (default sf0.001 plan-shape-only; sf0.01 with --metrics)
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# Measured-shuffle-write ceilings (BYTES, at sf0.01) for the family
+# where a plan regression is quadratic, not just slow. Pinned at
+# ~10-15x the round-9 measured values (PLAN_METRICS.json: 0.03-1.6 MB
+# per query) — loose enough for partition-count/AQE/codec drift, tight
+# enough that an accidental corpus x corpus pairing (100-1000x more
+# bytes) trips immediately. tests/test_plan_metrics.py re-checks the
+# committed PLAN_METRICS.json against the same ceilings.
+DEDUP_SHUFFLE_CEILINGS: dict[str, int] = {
+    "dedup_exact": 1 << 20,
+    "dedup_lsh_candidates": 4 << 20,
+    "dedup_ngram_jaccard": 12 << 20,
+    "dedup_fuzzy_survivors": 6 << 20,
+    "dedup_prefix_filter_jaccard": 24 << 20,
+    "dedup_prefix_filter_jaccard_strict": 4 << 20,
+    "dedup_semantic_semdedup": 16 << 20,
+    "dedup_substring_spans": 12 << 20,
+}
+
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = [a for a in sys.argv[1:] if a != "--metrics"]
+    with_metrics = "--metrics" in sys.argv[1:]
+    sf_dir = args[0] if args else (
+        "/root/testdata/sf0.01" if with_metrics else "/root/testdata/sf0.001"
+    )
 
     from mock_map_reduce_spark import get_spark, registry
     from mock_map_reduce_spark.plans import final_plan
 
     registry.load_all()
-    spark = get_spark("plan-audit", shuffle_partitions=8)
+    extra = {}
+    if with_metrics:
+        # REST metrics need the UI; retain enough stages that one
+        # query's delta can never be evicted mid-measurement.
+        extra = {"spark.ui.enabled": "true", "spark.ui.retainedStages": "20000"}
+    spark = get_spark("plan-audit", shuffle_partitions=8, extra_conf=extra)
+
+    from mock_map_reduce_spark.plans.inspect import measure_query
 
     rows = []
+    metrics: dict[str, dict[str, int]] = {}
     for name, fn in sorted(registry.QUERIES.items()):
+        if with_metrics:
+            try:
+                metrics[name] = measure_query(spark, fn, sf_dir)
+            except Exception as ex:  # noqa: BLE001
+                metrics[name] = {"error": str(ex)[:200]}
         try:
             # final (post-execution) plan: under AQE only this shows the
             # exchanges that actually ran and the codegen stages. The
@@ -72,6 +117,9 @@ def main() -> int:
             )
         )
 
+    def _mb(b: int) -> str:
+        return f"{b / (1 << 20):.2f}"
+
     out = os.path.join(REPO, "PLAN_AUDIT.md")
     with open(out, "w") as f:
         f.write(
@@ -82,15 +130,57 @@ def main() -> int:
             "is a bounded broadcast side — see tests/test_plans.py "
             "_BOUNDED_BNLJ). Py = Python/Arrow eval in the plan (the "
             "deliberate UDF-surface queries). TopK = bounded-heap "
-            "TakeOrderedAndProject.\n\n"
-            "| query | shuffles | bcasts | NL | codegen | Py | TopK | note |\n"
-            "|---|---|---|---|---|---|---|---|\n"
+            "TakeOrderedAndProject.\n"
         )
+        if with_metrics:
+            f.write(
+                "shufW/shufR/inMB = MEASURED shuffle bytes written/read "
+                "and input bytes (MB) for one full run of the query at "
+                "this sf (REST stage metrics; includes materialize-pin "
+                "jobs). Ceilings for the dedup family enforced — see "
+                "DEDUP_SHUFFLE_CEILINGS.\n\n"
+                "| query | shuffles | bcasts | NL | codegen | Py | TopK "
+                "| shufW MB | shufR MB | in MB | note |\n"
+                "|---|---|---|---|---|---|---|---|---|---|---|\n"
+            )
+        else:
+            f.write(
+                "\n| query | shuffles | bcasts | NL | codegen | Py | TopK | note |\n"
+                "|---|---|---|---|---|---|---|---|\n"
+            )
         for r in rows:
-            f.write("| " + " | ".join(r) + " |\n")
+            if with_metrics:
+                m = metrics.get(r[0], {})
+                if "error" in m:
+                    mcols = ("-", "-", "-")
+                    r = r[:7] + (f"METRICS ERROR: {m['error']}" if not r[7] else r[7],)
+                else:
+                    mcols = (
+                        _mb(m.get("shuffle_write", 0)),
+                        _mb(m.get("shuffle_read", 0)),
+                        _mb(m.get("input_bytes", 0)),
+                    )
+                f.write("| " + " | ".join(r[:7] + mcols + (r[7],)) + " |\n")
+            else:
+                f.write("| " + " | ".join(r) + " |\n")
+
     n_err = sum(1 for r in rows if r[7])
-    print(f"wrote {out}: {len(rows)} queries, {n_err} plan errors")
-    return 1 if n_err else 0
+    breaches = []
+    if with_metrics:
+        mpath = os.path.join(REPO, "PLAN_METRICS.json")
+        with open(mpath, "w") as f:
+            json.dump({"sf_dir": sf_dir, "queries": metrics}, f, indent=1, sort_keys=True)
+        n_merr = sum(1 for m in metrics.values() if "error" in m)
+        for name, ceiling in DEDUP_SHUFFLE_CEILINGS.items():
+            got = metrics.get(name, {}).get("shuffle_write")
+            if got is not None and got > ceiling:
+                breaches.append(f"{name}: shuffle_write {got} > ceiling {ceiling}")
+        for b in breaches:
+            print("CEILING BREACH:", b)
+        print(f"wrote {mpath}: {len(metrics)} measured, {n_merr} metric errors")
+        n_err += n_merr
+    print(f"wrote {out}: {len(rows)} queries, {n_err} errors")
+    return 1 if (n_err or breaches) else 0
 
 
 if __name__ == "__main__":
