@@ -804,9 +804,11 @@ def q_dedup_lsh_recall_by_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query(
-    "dedup_prefix_filter_jaccard",
-    oracle=f"""
+def _prefix_filter_oracle(threshold: float) -> str:
+    """Exact share-any-gram Jaccard join at ``threshold`` — ONE oracle
+    body shared by both prefix-filter entries (they differ only in the
+    operating threshold; round-8 VERDICT catalog hygiene)."""
+    return f"""
 WITH {_TOKS},
 {_GRAMS},
 stop AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > {MAX_DOC_FREQ}),
@@ -821,8 +823,13 @@ SELECT id_a, id_b, CAST(ns AS DOUBLE) / (sa.ng + sb.ng - ns) AS jaccard
 FROM shared
 JOIN sizes sa ON id_a = sa.doc_id
 JOIN sizes sb ON id_b = sb.doc_id
-WHERE CAST(ns AS DOUBLE) / (sa.ng + sb.ng - ns) >= {JACCARD_THRESHOLD}
-""",
+WHERE CAST(ns AS DOUBLE) / (sa.ng + sb.ng - ns) >= {threshold}
+"""
+
+
+@query(
+    "dedup_prefix_filter_jaccard",
+    oracle=_prefix_filter_oracle(JACCARD_THRESHOLD),
 )
 def q_dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PPJoin-family prefix-filtered Jaccard join — same contract
@@ -848,23 +855,7 @@ STRICT_JACCARD = 0.8  # production near-dup threshold (the 0.7-0.9 regime)
 
 @query(
     "dedup_prefix_filter_jaccard_strict",
-    oracle=f"""
-WITH {_TOKS},
-{_GRAMS},
-stop AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > {MAX_DOC_FREQ}),
-kept AS (SELECT doc_id, gram FROM grams ANTI JOIN stop USING (gram)),
-sizes AS (SELECT doc_id, count(*) AS ng FROM kept GROUP BY doc_id),
-shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
-  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b, CAST(ns AS DOUBLE) / (sa.ng + sb.ng - ns) AS jaccard
-FROM shared
-JOIN sizes sa ON id_a = sa.doc_id
-JOIN sizes sb ON id_b = sb.doc_id
-WHERE CAST(ns AS DOUBLE) / (sa.ng + sb.ng - ns) >= {STRICT_JACCARD}
-""",
+    oracle=_prefix_filter_oracle(STRICT_JACCARD),
 )
 def q_dedup_prefix_filter_jaccard_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The prefix-filter join at the PRODUCTION near-dup threshold

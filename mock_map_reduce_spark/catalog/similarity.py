@@ -685,6 +685,129 @@ def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- clustered-corpus recall (the regime ANN indexes exist for) -----
+# The driver's synthetic embeddings are near-isotropic, so the honest
+# recall readout above is low. This entry evaluates the SAME index on
+# a clustered corpus DERIVED deterministically from the embeddings
+# table in-query (no side fixture; both engines re-derive it):
+# clustered vector = one-hot centroid on dimension (vec_id mod
+# CL_MOD) + CL_EPS * original embedding — 16 well-separated cones
+# with realistic within-cluster spread. Operating point tuned on this
+# corpus: nbits=4 multiprobe examines ~5/16 of the corpus per query
+# and lands mean recall@10 = 0.88 at sf0.01 (tests/test_similarity.py
+# pins >= 0.8); more bits + more probes is the same knob at 100 TB.
+CL_EPS = 0.3
+CL_MOD = 16
+CL_NBITS = 4
+CL_QUERIES = 20
+_V_CL = f"""v AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, {EMB_DIM}),
+           j -> {CL_EPS} * CAST(embedding AS DOUBLE[])[j]
+                + CASE WHEN j - 1 = CAST(vec_id % {CL_MOD} AS BIGINT)
+                       THEN 1.0 ELSE 0.0 END) AS e
+  FROM embeddings)"""
+_PLANES4 = sim._hyperplanes(EMB_DIM, CL_NBITS, seed=42)
+
+
+def _ann_recall_clustered_oracle() -> str:
+    def plane_lit(row: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in row) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN {_DOT.format(a='e', b=plane_lit(p))} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_PLANES4)
+    )
+    probes = ", ".join(
+        ["CAST(qb AS BIGINT)"] + [f"xor(qb, {1 << i})" for i in range(CL_NBITS)]
+    )
+    return f"""
+WITH {_V_CL},
+bk AS (SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qb FROM bk WHERE vec_id < {CL_QUERIES}),
+probes AS (SELECT query_id, qe, unnest([{probes}]) AS bucket FROM q),
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, bk.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {_cos("qe", "bk.e")} DESC, bk.vec_id) AS rank
+    FROM bk JOIN probes USING (bucket)
+    WHERE bk.vec_id <> query_id
+  ) WHERE rank <= {TOP_K}
+),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, v.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {_cos("qe", "v.e")} DESC, v.vec_id) AS rank
+    FROM v CROSS JOIN q
+    WHERE v.vec_id <> query_id
+  ) WHERE rank <= {TOP_K}
+)
+SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN ann.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN ann.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM ex LEFT JOIN ann ON ex.query_id = ann.query_id AND ex.neighbor_id = ann.neighbor_id
+GROUP BY ex.query_id
+"""
+
+
+def clusterized_embeddings(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding double[]) — the derived clustered corpus."""
+    e = F.col("embedding").cast("array<double>")
+    cdim = (F.col("vec_id") % CL_MOD).cast("int")
+    return emb.select(
+        "vec_id",
+        F.transform(
+            e,
+            lambda x, i: F.lit(CL_EPS) * x
+            + F.when(i == cdim, F.lit(1.0)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+
+
+@query("similarity_ann_recall_clustered", oracle=_ann_recall_clustered_oracle())
+def q_similarity_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{TOP_K} of the tuned LSH multiprobe index on a CLUSTERED
+    corpus — the companion to similarity_ann_recall that proves the
+    index delivers high recall in the regime it exists for (see the
+    derivation comment above CL_EPS). Mean recall at sf0.01 is 0.88
+    with 20 queries spanning all {CL_MOD} clusters; per-query recall
+    rows hash-match the DuckDB twin, so the tuning claim itself is in
+    the correctness gate.
+
+    Scale shape identical to similarity_ann_recall: derivation is
+    map-only and rides the scan; the ANN side probes {CL_NBITS + 1}
+    of 2^{CL_NBITS} buckets (~5/16 of the corpus here — at 100 TB the
+    same knob moves to more bits and more probes so the examined
+    fraction keeps shrinking); evaluation cost is set by the query
+    sample, never the corpus.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    embc = clusterized_embeddings(emb)
+    queries = embc.filter(F.col("vec_id") < CL_QUERIES)
+    ex = sim.brute_force_topk(embc, queries, k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    ann = sim.ann_topk_lsh(
+        embc, queries, dim=EMB_DIM, k=TOP_K, nbits=CL_NBITS
+    ).select("query_id", F.col("neighbor_id").alias("ann_id"))
+    j = ex.join(
+        ann,
+        (ex.query_id == ann.query_id) & (ex.neighbor_id == ann.ann_id),
+        "left",
+    ).select(ex.query_id, "neighbor_id", "ann_id")
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(F.col("ann_id").isNotNull().cast("int")).cast("long").alias("n_hit"),
+        (
+            F.sum(F.col("ann_id").isNotNull().cast("int")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("recall"),
+    )
+
+
 KNN_K = 5
 KNN_N_QUERIES = 50
 _V2 = "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings)"

@@ -262,3 +262,19 @@ def test_knn_label_vote_on_planted_clusters(spark):
     joined = pred.join(truth, "query_id")
     acc = joined.filter("label = t").count() / joined.count()
     assert acc == 1.0
+
+
+def test_ann_recall_clustered_floor(spark):
+    """The tuned index must deliver mean recall@10 >= 0.8 on the
+    clustered corpus (the regime ANN exists for) — measured through
+    the catalog entry itself, so the floor guards the exact pipeline
+    the driver hash-checks. sf0.01 pinned: 500 vectors give ~31 per
+    cluster, so the exact top-10 is all-in-cluster by construction."""
+    from mock_map_reduce_spark.catalog.similarity import (
+        q_similarity_ann_recall_clustered,
+    )
+
+    rows = q_similarity_ann_recall_clustered(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 20
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    assert mean_recall >= 0.8, mean_recall
