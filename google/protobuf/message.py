@@ -1,0 +1,360 @@
+"""Dynamic proto3 Message runtime: attribute access, oneofs, nested
+auto-vivification, repeated fields, and the wire codec.
+
+Presence semantics implemented (proto3):
+  * plain scalars serialize only when != default;
+  * oneof members and proto3-optional scalars serialize whenever set
+    (even at the default value) — presence IS the information;
+  * message fields serialize whenever present, including empty ones
+    (the StateMessage protocol dispatches on exactly this: e.g.
+    ``ValueStateCall(get=Get())`` must put a zero-length ``get`` on
+    the wire so the JVM's getMethodCase() sees GET);
+  * reading an unset submessage returns a memoized child that joins
+    the parent (and clears oneof siblings) on first mutation — the
+    ``cmd.ttl.durationMs = 5`` idiom.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from google.protobuf import descriptor as D
+from google.protobuf import wire
+
+
+class _RepeatedScalar(list):
+    def __init__(self, owner: "Message", fd: D.FieldDescriptor) -> None:
+        super().__init__()
+        self._owner = owner
+        self._fd = fd
+
+    def append(self, v) -> None:  # noqa: ANN001
+        super().append(v)
+        self._owner._mark_set(self._fd, self)
+
+    def extend(self, vs) -> None:  # noqa: ANN001
+        vs = list(vs)
+        super().extend(vs)
+        if vs:
+            self._owner._mark_set(self._fd, self)
+
+
+class _RepeatedMessage(list):
+    def __init__(self, owner: "Message", fd: D.FieldDescriptor) -> None:
+        super().__init__()
+        self._owner = owner
+        self._fd = fd
+
+    def add(self, **kwargs):  # noqa: ANN003
+        cls = self._fd.message_type._concrete_class
+        msg = cls(**kwargs)
+        super().append(msg)
+        self._owner._mark_set(self._fd, self)
+        return msg
+
+    def append(self, msg) -> None:  # noqa: ANN001
+        super().append(msg)
+        self._owner._mark_set(self._fd, self)
+
+    def extend(self, msgs) -> None:  # noqa: ANN001
+        msgs = list(msgs)
+        super().extend(msgs)
+        if msgs:
+            self._owner._mark_set(self._fd, self)
+
+
+_VARINT_TYPES = {
+    D.TYPE_INT64,
+    D.TYPE_UINT64,
+    D.TYPE_INT32,
+    D.TYPE_UINT32,
+    D.TYPE_BOOL,
+    D.TYPE_ENUM,
+    D.TYPE_SINT32,
+    D.TYPE_SINT64,
+}
+_SIGNED_TYPES = {D.TYPE_INT32, D.TYPE_INT64, D.TYPE_ENUM}
+_ZIGZAG_TYPES = {D.TYPE_SINT32, D.TYPE_SINT64}
+
+
+class Message:
+    """Base class; concrete classes carry ``DESCRIPTOR``."""
+
+    DESCRIPTOR: D.Descriptor
+
+    def __init__(self, **kwargs) -> None:  # noqa: ANN003
+        object.__setattr__(self, "_values", {})
+        object.__setattr__(self, "_lazy", {})
+        object.__setattr__(self, "_parent", None)
+        for k, v in kwargs.items():
+            if v is None:
+                continue
+            fd = self._fd(k)
+            if fd.is_repeated:
+                getattr(self, k).extend(v)
+            elif fd.is_message:
+                if not isinstance(v, Message):
+                    raise TypeError(f"{k} expects a message, got {type(v)}")
+                object.__getattribute__(v, "_values")  # type check by duck
+                v._parent = (self, fd)
+                self._values[fd.name] = v
+                self._mark_set(fd, v)
+            else:
+                setattr(self, k, v)
+
+    # -- field plumbing ------------------------------------------------
+    def _fd(self, name: str) -> D.FieldDescriptor:
+        fd = self.DESCRIPTOR.fields_by_name.get(name)
+        if fd is None:
+            raise AttributeError(
+                f"{self.DESCRIPTOR.full_name} has no field {name!r}"
+            )
+        return fd
+
+    def _mark_set(self, fd: D.FieldDescriptor, value) -> None:  # noqa: ANN001
+        if fd.containing_oneof is not None:
+            for sib in fd.containing_oneof.fields:
+                if sib.name != fd.name:
+                    self._values.pop(sib.name, None)
+                    self._lazy.pop(sib.name, None)
+        self._values[fd.name] = value
+        self._lazy.pop(fd.name, None)
+        parent = self._parent
+        if parent is not None:
+            pmsg, pfd = parent
+            if pmsg._values.get(pfd.name) is not self:
+                pmsg._mark_set(pfd, self)
+
+    def __getattr__(self, name: str):  # noqa: ANN204
+        if name.startswith("_"):
+            raise AttributeError(name)
+        fd = self._fd(name)
+        if fd.name in self._values:
+            return self._values[fd.name]
+        if fd.name in self._lazy:
+            return self._lazy[fd.name]
+        if fd.is_repeated:
+            rep = (
+                _RepeatedMessage(self, fd) if fd.is_message else _RepeatedScalar(self, fd)
+            )
+            self._lazy[fd.name] = rep
+            return rep
+        if fd.is_message:
+            child = fd.message_type._concrete_class()
+            child._parent = (self, fd)
+            self._lazy[fd.name] = child
+            return child
+        return fd.default_value
+
+    def __setattr__(self, name: str, value) -> None:  # noqa: ANN001
+        if name.startswith("_"):
+            object.__setattr__(self, name, value)
+            return
+        fd = self._fd(name)
+        if fd.is_repeated or fd.is_message:
+            raise AttributeError(
+                f"Assignment not allowed to composite field {name!r} "
+                "(build via constructor kwargs or mutate in place)"
+            )
+        if fd.type == D.TYPE_STRING and isinstance(value, bytes):
+            value = value.decode("utf-8")
+        self._mark_set(fd, value)
+
+    # -- protobuf public API -------------------------------------------
+    def HasField(self, name: str) -> bool:
+        return name in self._values
+
+    def WhichOneof(self, oneof_name: str) -> str | None:
+        oneof = self.DESCRIPTOR.oneofs_by_name[oneof_name]
+        for fd in oneof.fields:
+            if fd.name in self._values:
+                return fd.name
+        return None
+
+    def Clear(self) -> None:
+        self._values.clear()
+        self._lazy.clear()
+
+    def CopyFrom(self, other: "Message") -> None:
+        self.Clear()
+        self.MergeFromString(other.SerializeToString())
+
+    def ByteSize(self) -> int:
+        return len(self.SerializeToString())
+
+    # -- serialization ---------------------------------------------------
+    def SerializeToString(self, **_kw) -> bytes:  # noqa: ANN003
+        out = bytearray()
+        for fd in self.DESCRIPTOR.fields:
+            val = self._values.get(fd.name)
+            if val is None:
+                continue
+            if fd.is_repeated:
+                for item in val:
+                    self._emit_one(fd, item, out)
+            elif fd.is_message:
+                wire.encode_len_delimited(fd.number, val.SerializeToString(), out)
+            else:
+                explicit = fd.containing_oneof is not None or fd.proto3_optional
+                if not explicit and val == fd.default_value:
+                    continue
+                self._emit_one(fd, val, out)
+        return bytes(out)
+
+    @staticmethod
+    def _emit_one(fd: D.FieldDescriptor, v, out: bytearray) -> None:  # noqa: ANN001
+        t = fd.type
+        if t in _VARINT_TYPES:
+            wire.encode_tag(fd.number, wire.WT_VARINT, out)
+            if t == D.TYPE_BOOL:
+                wire.encode_varint(1 if v else 0, out)
+            elif t in _ZIGZAG_TYPES:
+                wire.encode_varint(wire.zigzag_encode(int(v)), out)
+            else:
+                wire.encode_varint(int(v), out)
+        elif t == D.TYPE_STRING:
+            wire.encode_len_delimited(fd.number, v.encode("utf-8"), out)
+        elif t == D.TYPE_BYTES:
+            wire.encode_len_delimited(fd.number, bytes(v), out)
+        elif t == D.TYPE_MESSAGE:
+            wire.encode_len_delimited(fd.number, v.SerializeToString(), out)
+        elif t == D.TYPE_DOUBLE:
+            wire.encode_tag(fd.number, wire.WT_I64, out)
+            out += struct.pack("<d", v)
+        elif t == D.TYPE_FLOAT:
+            wire.encode_tag(fd.number, wire.WT_I32, out)
+            out += struct.pack("<f", v)
+        elif t in (D.TYPE_FIXED64, D.TYPE_SFIXED64):
+            wire.encode_tag(fd.number, wire.WT_I64, out)
+            out += struct.pack("<q" if t == D.TYPE_SFIXED64 else "<Q", v)
+        elif t in (D.TYPE_FIXED32, D.TYPE_SFIXED32):
+            wire.encode_tag(fd.number, wire.WT_I32, out)
+            out += struct.pack("<i" if t == D.TYPE_SFIXED32 else "<I", v)
+        else:
+            raise NotImplementedError(f"type {t} not supported")
+
+    # -- parsing ---------------------------------------------------------
+    def ParseFromString(self, data: bytes) -> int:
+        self.Clear()
+        return self.MergeFromString(data)
+
+    def MergeFromString(self, data: bytes) -> int:
+        buf = bytes(data)
+        pos = 0
+        n = len(buf)
+        while pos < n:
+            tag, pos = wire.decode_varint(buf, pos)
+            fnum, wt = tag >> 3, tag & 7
+            fd = self.DESCRIPTOR.fields_by_number.get(fnum)
+            if fd is None:
+                pos = wire.skip_field(buf, pos, wt)
+                continue
+            pos = self._merge_field(fd, wt, buf, pos)
+        return n
+
+    def _merge_field(self, fd: D.FieldDescriptor, wt: int, buf: bytes, pos: int) -> int:
+        t = fd.type
+        if wt == wire.WT_LEN:
+            ln, pos = wire.decode_varint(buf, pos)
+            chunk = buf[pos : pos + ln]
+            pos += ln
+            if t == D.TYPE_MESSAGE:
+                sub = fd.message_type._concrete_class()
+                sub.MergeFromString(chunk)
+                if fd.is_repeated:
+                    getattr(self, fd.name).append(sub)
+                else:
+                    sub._parent = (self, fd)
+                    self._mark_set(fd, sub)
+            elif t == D.TYPE_STRING:
+                v = chunk.decode("utf-8")
+                if fd.is_repeated:
+                    getattr(self, fd.name).append(v)
+                else:
+                    self._mark_set(fd, v)
+            elif t == D.TYPE_BYTES:
+                if fd.is_repeated:
+                    getattr(self, fd.name).append(chunk)
+                else:
+                    self._mark_set(fd, chunk)
+            elif fd.is_repeated and t in _VARINT_TYPES:
+                # packed repeated varints
+                rep = getattr(self, fd.name)
+                p2 = 0
+                while p2 < len(chunk):
+                    raw, p2 = wire.decode_varint(chunk, p2)
+                    rep.append(self._coerce_varint(t, raw))
+            elif fd.is_repeated and t in (D.TYPE_DOUBLE, D.TYPE_FIXED64, D.TYPE_SFIXED64):
+                rep = getattr(self, fd.name)
+                fmt = "<d" if t == D.TYPE_DOUBLE else ("<q" if t == D.TYPE_SFIXED64 else "<Q")
+                for (x,) in struct.iter_unpack(fmt, chunk):
+                    rep.append(x)
+            elif fd.is_repeated and t in (D.TYPE_FLOAT, D.TYPE_FIXED32, D.TYPE_SFIXED32):
+                rep = getattr(self, fd.name)
+                fmt = "<f" if t == D.TYPE_FLOAT else ("<i" if t == D.TYPE_SFIXED32 else "<I")
+                for (x,) in struct.iter_unpack(fmt, chunk):
+                    rep.append(x)
+            else:
+                raise ValueError(f"LEN payload for scalar field {fd.name}")
+            return pos
+        if wt == wire.WT_VARINT:
+            raw, pos = wire.decode_varint(buf, pos)
+            v = self._coerce_varint(t, raw)
+            if fd.is_repeated:
+                getattr(self, fd.name).append(v)
+            else:
+                self._mark_set(fd, v)
+            return pos
+        if wt == wire.WT_I64:
+            if t == D.TYPE_DOUBLE:
+                v, pos = wire.read_double(buf, pos)
+            else:
+                raw, pos = wire.read_fixed64(buf, pos)
+                v = raw - (1 << 64) if t == D.TYPE_SFIXED64 and raw >= (1 << 63) else raw
+            if fd.is_repeated:
+                getattr(self, fd.name).append(v)
+            else:
+                self._mark_set(fd, v)
+            return pos
+        if wt == wire.WT_I32:
+            if t == D.TYPE_FLOAT:
+                v, pos = wire.read_float(buf, pos)
+            else:
+                raw, pos = wire.read_fixed32(buf, pos)
+                v = raw - (1 << 32) if t == D.TYPE_SFIXED32 and raw >= (1 << 31) else raw
+            if fd.is_repeated:
+                getattr(self, fd.name).append(v)
+            else:
+                self._mark_set(fd, v)
+            return pos
+        raise ValueError(f"unsupported wire type {wt} for field {fd.name}")
+
+    @staticmethod
+    def _coerce_varint(t: int, raw: int):  # noqa: ANN205
+        if t == D.TYPE_BOOL:
+            return bool(raw)
+        if t in _ZIGZAG_TYPES:
+            return wire.zigzag_decode(raw)
+        if t in _SIGNED_TYPES:
+            return wire.to_signed64(raw)
+        return raw
+
+    # -- misc -------------------------------------------------------------
+    def __eq__(self, other) -> bool:  # noqa: ANN001
+        return (
+            isinstance(other, Message)
+            and other.DESCRIPTOR is self.DESCRIPTOR
+            and other.SerializeToString() == self.SerializeToString()
+        )
+
+    def __bool__(self) -> bool:
+        return True
+
+    def __repr__(self) -> str:
+        parts = []
+        for fd in self.DESCRIPTOR.fields:
+            if fd.name in self._values:
+                parts.append(f"{fd.name}={self._values[fd.name]!r}")
+        return f"{self.DESCRIPTOR.name}({', '.join(parts)})"
+
+    __str__ = __repr__

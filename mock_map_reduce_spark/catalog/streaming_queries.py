@@ -52,6 +52,50 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_distinct_types_stateful",
+    oracle=f"""
+WITH {_E}
+SELECT user_id,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       COUNT(*) AS n_events
+FROM e GROUP BY 1
+""",
+)
+def q_streaming_distinct_types_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (Spark 4 typed-state API) driven to
+    completion: running per-user distinct-type counts from a ListState
+    + ValueState pair, vs the batch DISTINCT aggregate. The state
+    protocol speaks protobuf over a local socket — served here by the
+    repo's from-scratch minimal runtime (google/protobuf/), shipped to
+    executors via addPyFile — and requires the RocksDB state store
+    (one column family per state variable), scoped to this query and
+    restored after.
+
+    Scale: state per key is O(distinct types), bounded; the API's
+    per-state TTL is the knob that expires idle keys at unbounded
+    ingest (unused here: finite replay)."""
+    from mock_map_reduce_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        distinct_types_per_user,
+        ship_vendored_protobuf,
+    )
+
+    ship_vendored_protobuf(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream = distinct_types_per_user(read_events_stream(spark, sf_dir))
+        run_to_memory(stream, "drv_stream_tws_distinct", mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return spark.table("drv_stream_tws_distinct")
+
+
+@query(
     "streaming_session_counts",
     oracle=f"""
 WITH {_E},

@@ -71,10 +71,15 @@ def distinct_types_per_user(events: DataFrame) -> DataFrame:
     is the knob that expires idle users at unbounded ingest.
 
     Dependency note: the transformWithState protocol speaks protobuf
-    between the JVM and the Python state server, so the runtime needs
-    ``google.protobuf`` (absent in minimal environments — the pytest
-    twin skips, and ``applyInPandasWithState`` above remains the
-    dependency-free custom-stateful path).
+    between the JVM and the Python state server. Environments without
+    the ``protobuf`` package use the repo's minimal from-scratch
+    runtime (/root/repo/google/protobuf — proto3 wire format +
+    generated-code API surface, see its module docstring);
+    ``ship_vendored_protobuf`` ships it to executors so worker
+    sys.path does not depend on the driver's cwd. The query also
+    needs the RocksDB state store provider (one column family per
+    state variable) — callers set
+    spark.sql.streaming.stateStore.providerClass before starting.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -93,7 +98,7 @@ def distinct_types_per_user(events: DataFrame) -> DataFrame:
                 n += len(pdf)
                 new = set(pdf["event_type"].unique()) - seen
                 if new:
-                    self._seen.appendList("t string", [(t,) for t in sorted(new)])
+                    self._seen.appendList([(t,) for t in sorted(new)])
                     seen |= new
             self._n.update((n,))
             yield pd.DataFrame(
@@ -274,3 +279,57 @@ def ewma_stream_per_user(events: DataFrame, alpha: float = 0.2) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def ship_vendored_protobuf(spark) -> None:  # noqa: ANN001
+    """Make ``google.protobuf`` importable on executors when the
+    runtime in use is this repo's vendored minimal one.
+
+    transformWithStateInPandas WORKERS import the protobuf-generated
+    state protocol; shipping the package via ``addPyFile`` removes the
+    dependency on the JVM's working directory happening to be the repo
+    root. A real installed protobuf (version without our marker) is
+    assumed to exist on executors too — nothing is shipped then.
+    """
+    try:
+        import google.protobuf as gp
+    except ImportError:
+        return
+    if "mock-map-reduce-spark-min" not in getattr(gp, "__version__", ""):
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(gp.__file__)))
+    )
+    # The transformWithState DRIVER-side runner (StreamingPythonRunner)
+    # builds its PYTHONPATH from the UDF's captured env, not from
+    # pyFiles — inject the package root there so the spawned process
+    # can import the runtime regardless of the JVM's cwd. Task workers
+    # additionally get the zip below via the normal pyFiles channel.
+    env = spark.sparkContext.environment
+    existing = env.get("PYTHONPATH", "")
+    if root not in existing.split(os.pathsep):
+        env["PYTHONPATH"] = (
+            root + (os.pathsep + existing if existing else "")
+        )
+    dst = os.path.join(
+        tempfile.gettempdir(), f"mmr_vendored_protobuf_{os.getuid()}.zip"
+    )
+    if not os.path.exists(dst):
+        tmp = dst + f".{os.getpid()}.part"
+        with zipfile.ZipFile(tmp, "w") as z:
+            pkg = os.path.join(root, "google")
+            for dirpath, _dirs, files in os.walk(pkg):
+                for fn in sorted(files):
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        z.write(full, os.path.relpath(full, root))
+        os.replace(tmp, dst)
+    spark.sparkContext.addPyFile(dst)

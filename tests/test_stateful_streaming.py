@@ -55,6 +55,15 @@ def test_distinct_types_transform_with_state(spark, sf_dir):
         pytest.skip("google.protobuf not available: transformWithState protocol needs it")
     from mock_map_reduce_spark.streaming.stateful import distinct_types_per_user
 
+    # transformWithState keeps one column family per state variable;
+    # the default HDFSBackedStateStoreProvider can't, so the query
+    # needs the RocksDB provider (bundled with Spark 4).
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
     stream = distinct_types_per_user(read_events_stream(spark, sf_dir))
     q = (
         stream.writeStream.outputMode("update")
@@ -66,6 +75,10 @@ def test_distinct_types_transform_with_state(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
     got = {
         r.user_id: (r.n_types, r.n_events)
         for r in spark.sql("SELECT * FROM tws_out").collect()
