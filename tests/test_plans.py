@@ -132,6 +132,12 @@ _BOUNDED_BNLJ = {
     "similarity_kmeans",
     "similarity_kmeans_pp",
     "dedup_semantic_semdedup",  # same k broadcast centroids as similarity_kmeans
+    # kscaled twin: same centroid broadcast; the BNLJ became VISIBLE in
+    # round 9 when materialize() (lineage-keeping persist) replaced
+    # localCheckpoint (which truncated the plan above the pin) — the
+    # executed shape is unchanged
+    "dedup_semantic_semdedup_kscaled",
+    "similarity_ann_recall_clustered",  # 20-query broadcast sample × corpus (eval baseline)
     "text_tfidf",
     "text_keywords_topk",  # built on tf_idf: same 1-row n_docs broadcast
     "range_join_banded",
