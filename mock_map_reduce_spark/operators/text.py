@@ -597,7 +597,9 @@ def bpe_train(
             F.lit(padded_pair),
             F.lit(padded_token),
         )
-        seqs = materialize(seqs.select("freq", F.trim(applied).alias("seq")))
+        seqs = materialize(
+            seqs.select("freq", F.trim(applied).alias("seq")), cut_lineage=True
+        )
 
     return spark.createDataFrame(
         merges, "merge_rank int, pair string, token string, c bigint"

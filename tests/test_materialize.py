@@ -38,7 +38,7 @@ def test_materialize_checkpoint_path(spark, tmp_path):
     sc.setCheckpointDir(str(tmp_path / "ckpt"))
     try:
         df = spark.range(20).withColumn("v", F.col("id") * 3)
-        out = materialize(df)
+        out = materialize(df, cut_lineage=True)
         # A reliable checkpoint: lineage is truncated (the plan no
         # longer reaches the Range source) and the backing blocks were
         # written under the configured reliable dir.
@@ -52,3 +52,21 @@ def test_materialize_checkpoint_path(spark, tmp_path):
         # tests sharing the session see the persist path again.
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
         assert sc.getCheckpointDir() is None
+
+
+def test_materialize_cut_lineage_autoprovisions_local_dir(spark):
+    """cut_lineage=True in local mode must self-provision a reliable
+    checkpoint dir and actually cut the plan (the iterative-loop
+    regression guard: +31-37% bench cost when round pins kept
+    lineage)."""
+    sc = spark.sparkContext
+    had = sc.getCheckpointDir()
+    df = spark.range(30).withColumn("v", F.col("id") + 7)
+    out = materialize(df, cut_lineage=True)
+    try:
+        assert sc.getCheckpointDir() is not None
+        assert "Range" not in out._jdf.queryExecution().logical().toString()
+        assert sorted(r["v"] for r in out.collect()) == [i + 7 for i in range(30)]
+    finally:
+        if had is None:
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
