@@ -18,7 +18,9 @@ Byte counts, not wall time: stage metrics are deterministic up to
 partitioning/compression, so the exponent is reproducible where
 timings are host-noise.
 
-Usage:  python tools/scaling_audit.py [sf_small] [sf_big]
+Usage:  python tools/scaling_audit.py [sf_small] [sf_big] [query ...]
+        (with explicit queries, results append to SCALING.md's
+        focused-run section instead of rewriting the full table)
 """
 
 from __future__ import annotations
@@ -66,6 +68,7 @@ MIN_BYTES = 64 * 1024  # below this, exponents are partition-overhead noise
 def main() -> int:
     sf_small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     sf_big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    only = sys.argv[3:]
     step = 10.0  # data ratio between the two dirs
 
     from mock_map_reduce_spark import get_spark, registry
@@ -80,7 +83,10 @@ def main() -> int:
 
     rows = []
     breaches = []
-    for name, fn in sorted(registry.QUERIES.items()):
+    items = sorted(registry.QUERIES.items())
+    if only:
+        items = [(n, f) for n, f in items if n in only]
+    for name, fn in items:
         rec = {"query": name}
         try:
             m_small = measure_query(spark, fn, sf_small)
@@ -110,6 +116,26 @@ def main() -> int:
         rows.append(rec)
 
     out = os.path.join(REPO, "SCALING.md")
+    if only:
+        with open(out, "a") as f:
+            f.write(
+                f"\n## Focused run: {sf_small} -> {sf_big}\n\n"
+                "| query | shufW small | shufW big | alpha | class |\n"
+                "|---|---|---|---|---|\n"
+            )
+            for r in rows:
+                if "error" in r:
+                    f.write(f"| {r['query']} | - | - | - | ERROR: {r['error']} |\n")
+                else:
+                    f.write(
+                        f"| {r['query']} | {r['bytes_small']} | {r['bytes_big']} "
+                        f"| {r['alpha'] if r['alpha'] is not None else '-'} "
+                        f"| {r['class']} |\n"
+                    )
+        for b in breaches:
+            print("SCALING BREACH:", b)
+        print(f"appended focused run to {out}: {len(rows)} queries")
+        return 1 if breaches else 0
     with open(out, "w") as f:
         f.write(
             "# SCALING — measured shuffle-write growth exponents "
