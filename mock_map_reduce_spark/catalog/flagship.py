@@ -131,3 +131,57 @@ def q_hdfs_uri_scan_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         uris = [root.toString()]
     docs = spark.read.parquet(*sorted(uris))
     return wc.word_count(docs, "text")
+
+
+@query(
+    "remote_fs_impl_scan_words",
+    oracle=_WORDS_CTE
+    + """
+SELECT word, count(*) AS count
+FROM words WHERE word <> ''
+GROUP BY word
+""",
+)
+def q_remote_fs_impl_scan_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FileSystem-implementation SEAM in the hash gate: the same
+    word count scanned while ``file://`` is served by an EXPLICITLY
+    conf-swapped implementation (RawLocalFileSystem via
+    ``fs.file.impl`` — sources/remote_fs.py documents the hdfs/s3a/
+    abfs/gs matrix this same key family configures). The override is
+    restored afterwards; a value mismatch would mean the engine's read
+    path depends on which class backs the scheme — it must not, and
+    this entry proves it doesn't on real data. Companion behavior
+    proof (checksum sidecars appear/disappear with the impl swap):
+    tests/test_remote_fs.py.
+    """
+    from mock_map_reduce_spark.sources.remote_fs import (
+        RAW_LOCAL_IMPL,
+        scheme_impl_in_use,
+        set_scheme_impl,
+    )
+    from mock_map_reduce_spark.sources.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    original = hconf.get("fs.file.impl")
+    set_scheme_impl(spark, "file", RAW_LOCAL_IMPL)
+    try:
+        assert scheme_impl_in_use(spark, "file:///") == RAW_LOCAL_IMPL
+        import os
+
+        docs = spark.read.parquet(
+            f"file://{os.path.abspath(sf_dir)}/documents.parquet"
+        )
+        out = wc.word_count(docs, "text")
+        # Force the scan NOW, while the override is active — the
+        # returned frame is a materialized pin, so the caller's later
+        # action does not depend on the restored conf.
+        from mock_map_reduce_spark.functions.materialize import materialize
+
+        return materialize(out)
+    finally:
+        if original is None:
+            hconf.unset("fs.file.impl")
+        else:
+            hconf.set("fs.file.impl", original)
+        hconf.unset("fs.file.impl.disable.cache")

@@ -57,3 +57,26 @@ def test_dedup_family_shuffle_ceilings(metrics):
 def test_no_metric_errors(metrics):
     errs = {k: v["error"] for k, v in metrics["queries"].items() if "error" in v}
     assert not errs, errs
+
+
+def test_scaling_exponents_not_superlinear():
+    """SCALING.json (tools/scaling_audit.py): no catalog query's
+    shuffle-write volume may grow super-linearly with the data unless
+    it is on the reviewed data-shape allowlist."""
+    import json
+
+    from tools.scaling_audit import ALPHA_GATE, SUPERLINEAR_ALLOW
+
+    path = os.path.join(REPO, "SCALING.json")
+    if not os.path.exists(path):
+        pytest.skip("SCALING.json not generated (run tools/scaling_audit.py)")
+    with open(path) as f:
+        rows = json.load(f)["rows"]
+    breaches = [
+        f"{r['query']}: alpha {r['alpha']}"
+        for r in rows
+        if r.get("alpha") is not None
+        and r["alpha"] > ALPHA_GATE
+        and r["query"] not in SUPERLINEAR_ALLOW
+    ]
+    assert not breaches, breaches
