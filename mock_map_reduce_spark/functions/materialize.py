@@ -56,9 +56,14 @@ def materialize(df: DataFrame, cut_lineage: bool = False) -> DataFrame:
     sc = df.sparkSession.sparkContext
     if cut_lineage:
         if sc.getCheckpointDir() is None and sc.master.startswith("local"):
+            import atexit
+            import shutil
             import tempfile
 
-            sc.setCheckpointDir(tempfile.mkdtemp(prefix="mmr-ckpt-"))
+            d = tempfile.mkdtemp(prefix="mmr-ckpt-")
+            sc.setCheckpointDir(d)
+            # auto-provisioned scratch must not outlive the process
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
         if sc.getCheckpointDir() is not None:
             # Reliable checkpoint: lineage cut, blocks on the
             # checkpoint FS. eager=True forces evaluation NOW, which
