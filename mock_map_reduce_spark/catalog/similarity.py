@@ -808,9 +808,76 @@ def q_similarity_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+_V2 = "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings)"
+
+
+HN_ANCHORS = 50  # anchor set: vec_id < 50
+
+
+@query(
+    "similarity_hard_negatives",
+    oracle=f"""
+WITH {_V2},
+q AS (SELECT vec_id AS anchor_id, e AS qe, label AS anchor_label
+      FROM v WHERE vec_id < {HN_ANCHORS}),
+sc AS (
+  SELECT anchor_id, anchor_label, v.vec_id AS neg_id, v.label AS neg_label,
+         {_cos("qe", "v.e")} AS cos,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id
+                            ORDER BY {_cos("qe", "v.e")} DESC, v.vec_id) AS rn
+  FROM v CROSS JOIN q
+  WHERE v.vec_id <> anchor_id AND v.label <> anchor_label
+)
+SELECT CAST(anchor_id AS BIGINT) AS anchor_id,
+       CAST(anchor_label AS BIGINT) AS anchor_label,
+       CAST(neg_id AS BIGINT) AS hard_negative_id,
+       CAST(neg_label AS BIGINT) AS negative_label,
+       round(cos, 6) AS cosine
+FROM sc WHERE rn = 1
+""",
+)
+def q_similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data operator:
+    for each anchor, the single most-similar vector carrying a
+    DIFFERENT label (the negative that most confuses the current
+    embedding, i.e. the one worth training on). Deterministic end to
+    end (bit-exact cosine folds, total tie-breaks) so the mined pairs
+    themselves hash-match the DuckDB twin.
+
+    Scale: identical shape to similarity_topk_bruteforce — the anchor
+    SAMPLE broadcasts onto one corpus scan, the label filter rides the
+    join, and the per-anchor argmax is a window at anchor cardinality.
+    At billions of vectors, swap the scan side for the IVF index
+    (similarity_ann_ivf's partition-pruned layout) and mine negatives
+    per probed cell — the operator's join/argmax stages are unchanged.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", F.col("label").cast("long").alias("label"))
+    anchors = emb.filter(F.col("vec_id") < HN_ANCHORS)
+    nn = sim.brute_force_topk(emb, anchors, k=1, exclude_label_col="label")
+    truth = labels.select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label")
+    )
+    neg_labels = labels.select(
+        F.col("vec_id").alias("hard_negative_id"),
+        F.col("label").alias("negative_label"),
+    )
+    return (
+        nn.select(
+            F.col("query_id").cast("long").alias("anchor_id"),
+            F.col("neighbor_id").cast("long").alias("hard_negative_id"),
+            "cosine",
+        )
+        .join(truth, "anchor_id")
+        .join(neg_labels, "hard_negative_id")
+        .select(
+            "anchor_id", "anchor_label", "hard_negative_id", "negative_label", "cosine"
+        )
+    )
+
+
 KNN_K = 5
 KNN_N_QUERIES = 50
-_V2 = "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings)"
 
 
 @query(

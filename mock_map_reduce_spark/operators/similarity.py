@@ -64,6 +64,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
 
@@ -73,21 +74,28 @@ def brute_force_topk(
     k per partition by the window's rank predicate pushdown... in
     practice use a modest query batch (<= a few thousand).
     Self-matches (same id) are excluded.
+
+    ``exclude_label_col``: additionally drop candidates sharing the
+    query's value in this column — the hard-negative-mining variant
+    (nearest DIFFERENT-label neighbor); the filter rides the same
+    broadcast join, costing nothing extra.
     """
-    q = queries.select(
-        F.col(id_col).alias(query_id_col), as_double_array(vec_col).alias("qvec")
+    qcols = [F.col(id_col).alias(query_id_col), as_double_array(vec_col).alias("qvec")]
+    ccols = [F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cvec")]
+    if exclude_label_col is not None:
+        qcols.append(F.col(exclude_label_col).alias("__qlabel"))
+        ccols.append(F.col(exclude_label_col).alias("__nlabel"))
+    q = queries.select(*qcols)
+    c = spread(corpus.select(*ccols), heavy=True)
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col(query_id_col)
     )
-    c = spread(corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cvec")
-    ), heavy=True)
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col(query_id_col))
-        .select(
-            query_id_col,
-            "neighbor_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("cosine"),
-        )
+    if exclude_label_col is not None:
+        joined = joined.filter(F.col("__nlabel") != F.col("__qlabel"))
+    scored = joined.select(
+        query_id_col,
+        "neighbor_id",
+        cosine(F.col("qvec"), F.col("cvec")).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
