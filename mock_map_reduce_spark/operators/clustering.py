@@ -65,6 +65,17 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _pin_centroids(cents: DataFrame) -> DataFrame:
+    """Collect a (cid, ce) centroid frame (k x dim doubles — bounded)
+    and rebuild it as a LocalRelation leaf, so iterative loops carry
+    no lineage between rounds — the Spark-MLlib k-means convention."""
+    rows = [(int(r["cid"]), [float(x) for x in r["ce"]]) for r in cents.collect()]
+    return cents.sparkSession.createDataFrame(
+        rows, "cid bigint, ce array<double>"
+    )
+
+
+
 def kcenter_init(
     emb: DataFrame,
     k: int = 6,
@@ -90,8 +101,10 @@ def kcenter_init(
     computes per-vector best-cosine with a map-side partial MAX, and
     reduces to ONE row via a single min-struct aggregate; nothing is
     ever sorted and no round shuffles more than the pool's partial-agg
-    rows. Driver holds only the loop counter (the argmin pick stays a
-    DataFrame, never a collect).
+    rows. Driver state per round is the pinned ≤k x dim centroid
+    table (~4 KB — the bounded-collect convention shared with the BPE
+    merge decision and MLlib's own k-means); the argmin pick itself
+    stays a DataFrame.
     """
     v = spread(
         emb, heavy=True
@@ -100,7 +113,7 @@ def kcenter_init(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < pool_prefix_lt
     )
     first = pool.agg(F.min("vec_id").alias("vec_id"))
-    cents = materialize(
+    cents = _pin_centroids(
         pool.join(first, "vec_id")
         .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
     )
@@ -118,9 +131,9 @@ def kcenter_init(
         nxt = pool.join(pick, "vec_id").select(
             F.col("vec_id").alias("cid"), F.col("e").alias("ce")
         )
-        # materialize per round, same lineage-pinning rationale as
-        # kmeans_lloyd below; values unchanged.
-        cents = materialize(cents.unionByName(nxt), cut_lineage=True)
+        # driver-pin per round, same bounded-state rationale as
+        # kmeans_lloyd below (≤k centroid rows); values unchanged.
+        cents = _pin_centroids(cents.unionByName(nxt))
     return cents
 
 
@@ -152,13 +165,16 @@ def kmeans_lloyd(
         )
     )
     for _ in range(n_iter):
-        # Materialize the k×dim centroid frame each round (it's tiny):
-        # without the checkpoint each round's centroids NEST the whole
-        # prior round's lineage, so corpus scans grow geometrically
-        # with n_iter — same materialize-per-round shape as
-        # connected_components. Values are unchanged (it only pins
-        # already-deterministic results), so the oracle is unaffected.
-        cents = materialize(_update(_assign(v, cents)), cut_lineage=True)
+        # Pin each round's centroids as a driver-side LocalRelation:
+        # k x dim doubles (~4 KB at k=8, dim=64) — BOUNDED driver
+        # state, the same convention as the BPE merge decision and the
+        # classifier weights, and exactly what Spark MLlib's own
+        # k-means does per iteration. A LocalRelation is a LEAF plan,
+        # so rounds never nest lineage and need no checkpoint/persist
+        # machinery at all; values are unchanged (the collected rows
+        # ARE the deterministic round result), so the oracle is
+        # unaffected.
+        cents = _pin_centroids(_update(_assign(v, cents)))
     final = _assign(v, cents)
     return final.select(
         F.col("vec_id").alias(id_col), "cell", F.round("cos", 6).alias("cosine")
@@ -206,7 +222,7 @@ def semdedup(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce")
     )
     for _ in range(n_iter):
-        cents = materialize(_update(_assign(v, cents)), cut_lineage=True)
+        cents = _pin_centroids(_update(_assign(v, cents)))  # see kmeans_lloyd
     # Pin the final assignment: it feeds BOTH sides of the pair join
     # and the final kept-flag join, so without this the k-broadcast
     # cosine argmax over the whole corpus re-executes three times
