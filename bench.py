@@ -106,6 +106,11 @@ def main() -> None:
     spark.range(0, n_cores, 1, n_cores).mapInPandas(_warm, "id long").count()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+    # Host-state sample BEFORE the measured reps (the matching post-run
+    # sample is calib_mt_sec below): the throttle windows last minutes,
+    # so one sample per run can misrepresent the window a query's reps
+    # landed in — two bracket it.
+    calib_mt_pre = None  # assigned after the calibrators are defined
 
     def calibrate() -> float:
         """Single-thread CPU proxy (sha256 over 200 MB), Spark-free.
@@ -169,6 +174,8 @@ def main() -> None:
     # window poison every sample of the queries it covers. Rep-major
     # order gives each query `reps` samples spread across the whole
     # run — at least one usually lands in a calm slice.
+    calib_mt_pre = calibrate_mt()
+
     names = [n for n in HEADLINE if n in registry.QUERIES]
     samples: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(reps):
@@ -214,6 +221,7 @@ def main() -> None:
                 "reps": reps,
                 "estimator": "min_of_n",
                 "calib_sec": calib,
+                "calib_mt_pre": calib_mt_pre,
                 "calib_mt_sec": calib_mt,
             },
             separators=(",", ":"),
@@ -231,6 +239,7 @@ def main() -> None:
                 "queries_minmax": minmax,
                 "total_median": total_median,
                 "calib_sec": calib,
+                "calib_mt_pre": calib_mt_pre,
                 "calib_mt_sec": calib_mt,
                 "reps": reps,
                 "sf": sf,
