@@ -21,7 +21,9 @@ def test_materialize_preserves_values(spark):
 
 
 def test_materialize_persist_path_keeps_lineage(spark):
-    assert spark.sparkContext.getCheckpointDir() is None
+    # cut_lineage=False always takes the persist path, even when an
+    # earlier test's cut_lineage call auto-provisioned a checkpoint
+    # dir on the shared session (order-independence).
     df = spark.range(50).withColumn("v", F.col("id") + 1)
     out = materialize(df)
     # Persisted (one computation shared by consumers) ...
@@ -34,7 +36,7 @@ def test_materialize_persist_path_keeps_lineage(spark):
 
 def test_materialize_checkpoint_path(spark, tmp_path):
     sc = spark.sparkContext
-    assert sc.getCheckpointDir() is None
+    prev = sc.getCheckpointDir()
     sc.setCheckpointDir(str(tmp_path / "ckpt"))
     try:
         df = spark.range(20).withColumn("v", F.col("id") * 3)
@@ -48,10 +50,12 @@ def test_materialize_checkpoint_path(spark, tmp_path):
         assert glob.glob(str(tmp_path / "ckpt" / "*" / "rdd-*"))
         assert sorted(r["v"] for r in out.collect()) == [3 * i for i in range(20)]
     finally:
-        # pyspark has no unsetCheckpointDir; clear via the JVM so other
-        # tests sharing the session see the persist path again.
-        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
-        assert sc.getCheckpointDir() is None
+        # pyspark has no unsetCheckpointDir; restore via the JVM so
+        # tests sharing the session see the prior state again.
+        if prev is None:
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+        else:
+            sc.setCheckpointDir(prev)
 
 
 def test_materialize_cut_lineage_autoprovisions_local_dir(spark):
@@ -78,7 +82,6 @@ def test_materialize_persist_path_survives_block_loss(spark):
     that held them) — consumers still compute correct values because
     lineage was kept. localCheckpoint could not survive this: its
     blocks ARE the only copy once lineage is truncated."""
-    assert spark.sparkContext.getCheckpointDir() is None
     from pyspark.sql import functions as F
 
     df = spark.range(1000).withColumn("v", F.col("id") * 2 + 1)

@@ -154,6 +154,7 @@ _BOUNDED_BNLJ = {
     "sketch_kmv_jaccard",  # 1-row sketch × 1-row sketch × 1-row exact-count combine
     "similarity_ann_recall",  # 5-query broadcast sample × corpus (the exact eval baseline)
     "similarity_knn_label_accuracy",  # 50-query broadcast sample × corpus (same)
+    "similarity_hard_negatives",  # 50-anchor broadcast sample × corpus (same)
     "embedding_label_centroid_cosines",  # label-count² pair join (≤10 centroids a side)
     "curation_temperature_mixture",  # 1-row (corpus_n, denom) totals crossJoin onto the source-count table
     "text_bigram_logprob",  # 1-row vocab-size crossJoin broadcast onto the bigram stream
