@@ -96,6 +96,43 @@ def q_streaming_distinct_types_stateful(spark: SparkSession, sf_dir: str) -> Dat
 
 
 @query(
+    "streaming_type_counts_mapstate",
+    oracle=f"""
+WITH {_E}
+SELECT user_id, event_type, COUNT(*) AS n
+FROM e GROUP BY 1, 2
+""",
+)
+def q_streaming_type_counts_mapstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas MAP-state surface driven to
+    completion: per-user event-type histogram from a
+    MapState[type -> count], vs the batch two-key COUNT aggregate.
+    Together with streaming_distinct_types_stateful (ValueState +
+    ListState) this puts all three typed-state kinds — and their
+    protobuf protocol paths (updateValue / containsKey / getValue /
+    iterator) — in the oracle hash gate."""
+    from mock_map_reduce_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        ship_vendored_protobuf,
+        type_counts_per_user,
+    )
+
+    ship_vendored_protobuf(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream = type_counts_per_user(read_events_stream(spark, sf_dir))
+        run_to_memory(stream, "drv_stream_tws_mapstate", mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return spark.table("drv_stream_tws_mapstate")
+
+
+@query(
     "streaming_session_counts",
     oracle=f"""
 WITH {_E},

@@ -120,6 +120,59 @@ def distinct_types_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+TYPE_COUNTS_SCHEMA = "user_id long, event_type string, n long"
+
+
+def type_counts_per_user(events: DataFrame) -> DataFrame:
+    """Per-user event-type histogram via transformWithStateInPandas
+    MAP state — the third typed-state surface (ValueState and
+    ListState are exercised by ``distinct_types_per_user``): a
+    MapState[event_type -> count] updated per micro-batch, the full
+    map re-emitted per snapshot. Exercises the map-state protocol
+    end-to-end (getMapState, containsKey, getValue, updateValue,
+    iterator) over the protobuf channel.
+
+    Scale: state per key is O(distinct types) — bounded; the map
+    lives in the RocksDB store keyed (user, type), so updates touch
+    only the changed entries, never the whole map.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._m = handle.getMapState("counts", "t string", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            local: dict[str, int] = {}
+            for pdf in rows:
+                for t in pdf["event_type"]:
+                    local[t] = local.get(t, 0) + 1
+            for t, add in sorted(local.items()):
+                cur = self._m.getValue((t,)) if self._m.containsKey((t,)) else None
+                self._m.updateValue((t,), ((cur[0] if cur else 0) + add,))
+            snapshot = [(key[0], k[0], v[0]) for k, v in self._m.iterator()]
+            yield pd.DataFrame(
+                snapshot, columns=["user_id", "event_type", "n"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            TypeCounts(),
+            outputStructType=TYPE_COUNTS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 SCD2_SCHEMA = "user_id long, state string, valid_from_us long, valid_to_us long, is_current int"
 SCD2_STATE_SCHEMA = "cur string, since_us long"
 

@@ -142,3 +142,50 @@ def test_ewma_stream_matches_batch_fold(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     batch = {r.event_id: r.ewma for r in ewma(ev, "value", alpha=0.2).collect()}
     assert got == batch
+
+
+def test_type_counts_mapstate(spark, sf_dir):
+    """transformWithStateInPandas MAP state: per-user type histogram
+    equals the batch two-key COUNT aggregate (exercises updateValue /
+    containsKey / getValue / iterator over the protobuf channel)."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not available")
+    from mock_map_reduce_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        type_counts_per_user,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    stream = type_counts_per_user(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_map_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    got = {
+        (r.user_id, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM tws_map_out").collect()
+    }
+    batch = {
+        (r.user_id, r.event_type): r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == batch
