@@ -22,45 +22,51 @@ from google.protobuf import descriptor as D
 from google.protobuf import wire
 
 
-class _RepeatedScalar(list):
+class _RepeatedBase(list):
+    """List with a backref to its owning message: EVERY mutating
+    operation marks the field present, so an element added through any
+    list API reaches the wire (a lazily-created repeated field must
+    never hold data invisibly)."""
+
     def __init__(self, owner: "Message", fd: D.FieldDescriptor) -> None:
         super().__init__()
         self._owner = owner
         self._fd = fd
+
+    def _touch(self) -> None:
+        self._owner._mark_set(self._fd, self)
 
     def append(self, v) -> None:  # noqa: ANN001
         super().append(v)
-        self._owner._mark_set(self._fd, self)
+        self._touch()
 
     def extend(self, vs) -> None:  # noqa: ANN001
-        vs = list(vs)
-        super().extend(vs)
-        if vs:
-            self._owner._mark_set(self._fd, self)
+        super().extend(list(vs))
+        self._touch()
+
+    def insert(self, i, v) -> None:  # noqa: ANN001
+        super().insert(i, v)
+        self._touch()
+
+    def __setitem__(self, i, v) -> None:  # noqa: ANN001
+        super().__setitem__(i, v)
+        self._touch()
+
+    def __iadd__(self, vs):  # noqa: ANN001, ANN204
+        self.extend(vs)
+        return self
 
 
-class _RepeatedMessage(list):
-    def __init__(self, owner: "Message", fd: D.FieldDescriptor) -> None:
-        super().__init__()
-        self._owner = owner
-        self._fd = fd
+class _RepeatedScalar(_RepeatedBase):
+    pass
 
+
+class _RepeatedMessage(_RepeatedBase):
     def add(self, **kwargs):  # noqa: ANN003
         cls = self._fd.message_type._concrete_class
         msg = cls(**kwargs)
-        super().append(msg)
-        self._owner._mark_set(self._fd, self)
+        self.append(msg)
         return msg
-
-    def append(self, msg) -> None:  # noqa: ANN001
-        super().append(msg)
-        self._owner._mark_set(self._fd, self)
-
-    def extend(self, msgs) -> None:  # noqa: ANN001
-        msgs = list(msgs)
-        super().extend(msgs)
-        if msgs:
-            self._owner._mark_set(self._fd, self)
 
 
 _VARINT_TYPES = {
@@ -175,9 +181,21 @@ class Message:
         self._values.clear()
         self._lazy.clear()
 
+    def SetInParent(self) -> None:
+        """Mark this message present in its parent (real-protobuf API);
+        required for the empty-submessage-on-the-wire cases the oneof
+        dispatch depends on."""
+        parent = self._parent
+        if parent is not None:
+            pmsg, pfd = parent
+            pmsg._mark_set(pfd, self)
+
     def CopyFrom(self, other: "Message") -> None:
         self.Clear()
         self.MergeFromString(other.SerializeToString())
+        # Copying ANY message (even an empty one) establishes presence,
+        # exactly as real protobuf's submessage mutators do.
+        self.SetInParent()
 
     def ByteSize(self) -> int:
         return len(self.SerializeToString())
@@ -236,7 +254,9 @@ class Message:
     # -- parsing ---------------------------------------------------------
     def ParseFromString(self, data: bytes) -> int:
         self.Clear()
-        return self.MergeFromString(data)
+        n = self.MergeFromString(data)
+        self.SetInParent()
+        return n
 
     def MergeFromString(self, data: bytes) -> int:
         buf = bytes(data)
@@ -259,12 +279,21 @@ class Message:
             chunk = buf[pos : pos + ln]
             pos += ln
             if t == D.TYPE_MESSAGE:
-                sub = fd.message_type._concrete_class()
-                sub.MergeFromString(chunk)
                 if fd.is_repeated:
+                    sub = fd.message_type._concrete_class()
+                    sub.MergeFromString(chunk)
                     getattr(self, fd.name).append(sub)
                 else:
-                    sub._parent = (self, fd)
+                    # Wire spec: a repeated occurrence of a singular
+                    # embedded message MERGES into the prior one (a
+                    # serializer may legally split a submessage across
+                    # LEN chunks) — replacing would drop the first
+                    # chunk's fields.
+                    sub = self._values.get(fd.name)
+                    if not isinstance(sub, Message):
+                        sub = fd.message_type._concrete_class()
+                        sub._parent = (self, fd)
+                    sub.MergeFromString(chunk)
                     self._mark_set(fd, sub)
             elif t == D.TYPE_STRING:
                 v = chunk.decode("utf-8")

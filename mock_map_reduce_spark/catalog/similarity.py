@@ -67,16 +67,17 @@ ANN_LSH_BITS = 8
 _PLANES8 = sim._hyperplanes(EMB_DIM, ANN_LSH_BITS, seed=42)
 
 
+def _plane_lit(row: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in row) + "]"
+
+
 def _ann_lsh_oracle() -> str:
     # seeded hyperplanes are driver-side literals, so the WHOLE ANN
     # pipeline — sign-bit bucket, Hamming-1 multiprobe (xor), in-bucket
     # exact cosine, per-query top-k — re-derives in SQL (the strategy
     # dedup_embedding_lsh already uses at 4 bits).
-    def plane_lit(row: list[float]) -> str:
-        return "[" + ", ".join(repr(x) for x in row) + "]"
-
     bucket = " + ".join(
-        f"(CASE WHEN {_DOT.format(a='e', b=plane_lit(p))} >= 0 THEN {1 << i} ELSE 0 END)"
+        f"(CASE WHEN {_DOT.format(a='e', b=_plane_lit(p))} >= 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(_PLANES8)
     )
     probes = ", ".join(["CAST(qb AS BIGINT)"] + [f"xor(qb, {1 << i})" for i in range(ANN_LSH_BITS)])
@@ -160,10 +161,6 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 NDUP_BITS = 4
 NDUP_THRESHOLD = 0.35
 _PLANES = sim._hyperplanes(EMB_DIM, NDUP_BITS, seed=42)
-
-
-def _plane_lit(row: list[float]) -> str:
-    return "[" + ", ".join(repr(x) for x in row) + "]"
 
 
 _BUCKET = " + ".join(
@@ -601,11 +598,8 @@ def _ann_recall_oracle() -> str:
     deterministically, so the evaluation METRIC itself is in the hash
     gate."""
 
-    def plane_lit(row: list[float]) -> str:
-        return "[" + ", ".join(repr(x) for x in row) + "]"
-
     bucket = " + ".join(
-        f"(CASE WHEN {_DOT.format(a='e', b=plane_lit(p))} >= 0 THEN {1 << i} ELSE 0 END)"
+        f"(CASE WHEN {_DOT.format(a='e', b=_plane_lit(p))} >= 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(_PLANES8)
     )
     probes = ", ".join(
@@ -711,11 +705,8 @@ _PLANES4 = sim._hyperplanes(EMB_DIM, CL_NBITS, seed=42)
 
 
 def _ann_recall_clustered_oracle() -> str:
-    def plane_lit(row: list[float]) -> str:
-        return "[" + ", ".join(repr(x) for x in row) + "]"
-
     bucket = " + ".join(
-        f"(CASE WHEN {_DOT.format(a='e', b=plane_lit(p))} >= 0 THEN {1 << i} ELSE 0 END)"
+        f"(CASE WHEN {_DOT.format(a='e', b=_plane_lit(p))} >= 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(_PLANES4)
     )
     probes = ", ".join(

@@ -354,6 +354,7 @@ def ship_vendored_protobuf(spark) -> None:  # noqa: ANN001
         return
     if "mock-map-reduce-spark-min" not in getattr(gp, "__version__", ""):
         return
+    import hashlib
     import os
     import tempfile
     import zipfile
@@ -361,6 +362,19 @@ def ship_vendored_protobuf(spark) -> None:  # noqa: ANN001
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(gp.__file__)))
     )
+    pkg = os.path.join(root, "google")
+    srcs = sorted(
+        os.path.join(dp, fn)
+        for dp, _dirs, files in os.walk(pkg)
+        for fn in files
+        if fn.endswith(".py")
+    )
+    # Content-hash the zip name so an edited runtime is re-shipped
+    # instead of a stale cached zip being reused (code-review finding).
+    digest = hashlib.md5()
+    for f in srcs:
+        digest.update(f.encode())
+        digest.update(open(f, "rb").read())
     # The transformWithState DRIVER-side runner (StreamingPythonRunner)
     # builds its PYTHONPATH from the UDF's captured env, not from
     # pyFiles — inject the package root there so the spawned process
@@ -373,16 +387,13 @@ def ship_vendored_protobuf(spark) -> None:  # noqa: ANN001
             root + (os.pathsep + existing if existing else "")
         )
     dst = os.path.join(
-        tempfile.gettempdir(), f"mmr_vendored_protobuf_{os.getuid()}.zip"
+        tempfile.gettempdir(),
+        f"mmr_vendored_protobuf_{os.getuid()}_{digest.hexdigest()[:12]}.zip",
     )
     if not os.path.exists(dst):
         tmp = dst + f".{os.getpid()}.part"
         with zipfile.ZipFile(tmp, "w") as z:
-            pkg = os.path.join(root, "google")
-            for dirpath, _dirs, files in os.walk(pkg):
-                for fn in sorted(files):
-                    if fn.endswith(".py"):
-                        full = os.path.join(dirpath, fn)
-                        z.write(full, os.path.relpath(full, root))
+            for full in srcs:
+                z.write(full, os.path.relpath(full, root))
         os.replace(tmp, dst)
     spark.sparkContext.addPyFile(dst)

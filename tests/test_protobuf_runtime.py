@@ -117,3 +117,40 @@ def test_unknown_fields_are_skipped():
 def test_proto3_plain_scalar_default_not_serialized():
     assert sm.StateResponse(statusCode=0, errorMessage="").SerializeToString() == b""
     assert sm.StateResponse(statusCode=1).SerializeToString() == b"\x08\x01"
+
+
+def test_copyfrom_empty_submessage_establishes_presence():
+    # The CopyFrom idiom must put a zero-length submessage on the wire
+    # (code-review finding: presence was lost for empty copies).
+    cmd = sm.StateCallCommand()
+    cmd.ttl.CopyFrom(sm.TTLConfig())
+    assert cmd.HasField("ttl")
+    back = sm.StateCallCommand()
+    back.ParseFromString(cmd.SerializeToString())
+    assert back.HasField("ttl") and back.ttl.durationMs == 0
+
+
+def test_repeated_insert_and_setitem_reach_the_wire():
+    lg = sm.StateResponseWithListGet()
+    lg.value.insert(0, b"a")
+    lg.value.insert(0, b"z")
+    lg.value[1] = b"b"
+    back = sm.StateResponseWithListGet()
+    back.ParseFromString(lg.SerializeToString())
+    assert list(back.value) == [b"z", b"b"]
+
+
+def test_split_submessage_chunks_merge_not_replace():
+    # Wire spec: repeated LEN occurrences of a singular embedded
+    # message merge field-by-field.
+    chunk1 = sm.StateCallCommand(stateName="s").SerializeToString()
+    chunk2 = sm.StateCallCommand(schema="j").SerializeToString()
+    out = bytearray()
+    from google.protobuf import wire
+
+    # StatefulProcessorCall.getValueState is field 2
+    wire.encode_len_delimited(2, chunk1, out)
+    wire.encode_len_delimited(2, chunk2, out)
+    msg = sm.StatefulProcessorCall()
+    msg.ParseFromString(bytes(out))
+    assert msg.getValueState.stateName == "s" and msg.getValueState.schema == "j"

@@ -67,23 +67,35 @@ def main() -> int:
         extra = {"spark.ui.enabled": "true", "spark.ui.retainedStages": "20000"}
     spark = get_spark("plan-audit", shuffle_partitions=8, extra_conf=extra)
 
-    from mock_map_reduce_spark.plans.inspect import measure_query
+    from mock_map_reduce_spark.plans.inspect import stage_totals
 
     rows = []
     metrics: dict[str, dict[str, int]] = {}
     for name, fn in sorted(registry.QUERIES.items()):
-        if with_metrics:
-            try:
-                metrics[name] = measure_query(spark, fn, sf_dir)
-            except Exception as ex:  # noqa: BLE001
-                metrics[name] = {"error": str(ex)[:200]}
         try:
             # final (post-execution) plan: under AQE only this shows the
             # exchanges that actually ran and the codegen stages. The
             # AdaptiveSparkPlan string appends "== Initial Plan ==" after
             # the final plan — drop it or every exchange counts twice.
-            plan = final_plan(fn(spark, sf_dir)).split("== Initial Plan ==")[0]
+            # In --metrics mode the SAME single execution provides both
+            # the stage-metric delta and the final plan (running the
+            # query twice doubled metrics-run wall clock).
+            if with_metrics:
+                import time as _time
+
+                before = stage_totals(spark)
+                t0 = _time.time()
+                plan = final_plan(fn(spark, sf_dir)).split("== Initial Plan ==")[0]
+                wall_ms = int((_time.time() - t0) * 1000)
+                after = stage_totals(spark)
+                m = {k: after[k] - before[k] for k in before}
+                m["wall_ms"] = wall_ms
+                metrics[name] = m
+            else:
+                plan = final_plan(fn(spark, sf_dir)).split("== Initial Plan ==")[0]
         except Exception as ex:  # noqa: BLE001
+            if with_metrics:
+                metrics[name] = {"error": str(ex)[:200]}
             rows.append((name, "-", "-", "-", "-", "-", "-", f"PLAN ERROR: {ex}"))
             continue
         lines = plan.splitlines()

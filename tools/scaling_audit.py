@@ -152,7 +152,8 @@ def main() -> int:
             "|---|---|---|---|---|\n"
         )
         for r in sorted(
-            rows, key=lambda r: -(r.get("alpha") or -1 if r.get("alpha") is not None else -2)
+            rows,
+            key=lambda r: -r["alpha"] if r.get("alpha") is not None else 2.0,
         ):
             if "error" in r:
                 f.write(f"| {r['query']} | - | - | - | ERROR: {r['error']} |\n")
