@@ -36,7 +36,25 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 
-def materialize(df: DataFrame, cut_lineage: bool = False) -> DataFrame:
+def release(df: DataFrame) -> None:
+    """Drop a pin created by ``materialize``'s persist path.
+
+    Safe to call on ANY frame: unpersist is a no-op for never-persisted
+    and checkpoint-pinned frames (checkpoint files are reclaimed with
+    the checkpoint dir at process exit). Iterative loops call this on
+    each superseded round pin — without it a long shared session (the
+    249-query oracle sweep, the two-SF scaling audit) accumulates
+    MEMORY_AND_DISK blocks for frames nothing will ever read again,
+    evicting the pins that still matter (round-9 ADVICE)."""
+    try:
+        df.unpersist()
+    except Exception:  # noqa: BLE001 — releasing is best-effort by design
+        pass
+
+
+def materialize(
+    df: DataFrame, cut_lineage: bool = False, supersedes: DataFrame | None = None
+) -> DataFrame:
     """Pin ``df``'s result so downstream consumers reuse ONE computation,
     without sacrificing fault tolerance (see module docstring).
 
@@ -52,7 +70,19 @@ def materialize(df: DataFrame, cut_lineage: bool = False) -> DataFrame:
     itself; on a cluster, configure ``sc.setCheckpointDir`` to shared
     storage (HDFS/S3) — the deployment-correct backing for iterative
     lineage cuts — and every ``materialize`` call then uses it.
+
+    ``supersedes`` names the frame this pin REPLACES (the previous
+    round's pin in an iterative loop): it is released AFTER the new
+    pin is fully computed — both pin paths are eager, so the old
+    blocks are never needed again by the time release runs.
     """
+    out = _materialize(df, cut_lineage)
+    if supersedes is not None:
+        release(supersedes)
+    return out
+
+
+def _materialize(df: DataFrame, cut_lineage: bool) -> DataFrame:
     sc = df.sparkSession.sparkContext
     if cut_lineage:
         if sc.getCheckpointDir() is None and sc.master.startswith("local"):

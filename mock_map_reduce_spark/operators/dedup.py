@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from mock_map_reduce_spark.functions.materialize import materialize
+from mock_map_reduce_spark.functions.materialize import materialize, release
 from mock_map_reduce_spark.functions.partitioning import spread as _spread
 
 # Normalized tokens for fuzzy dedup: lowercase alphabetic runs.
@@ -628,9 +628,11 @@ def connected_components(
             .limit(1)
             .count()
         )
+        release(labels)  # superseded round pin: last read by `changed` above
         labels = new_labels
         if changed == 0:
             break
+    release(sym)  # edges were only read inside the loop
     return labels.select(F.col("node").alias(id_col), "component")
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from mock_map_reduce_spark.functions.materialize import materialize
+from mock_map_reduce_spark.functions.materialize import materialize, release
 from mock_map_reduce_spark.functions.partitioning import spread
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -598,9 +598,12 @@ def bpe_train(
             F.lit(padded_token),
         )
         seqs = materialize(
-            seqs.select("freq", F.trim(applied).alias("seq")), cut_lineage=True
+            seqs.select("freq", F.trim(applied).alias("seq")),
+            cut_lineage=True,
+            supersedes=seqs,  # previous round's vocab pin: last read above
         )
 
+    release(seqs)  # merges are driver-side; the final vocab pin is dead
     return spark.createDataFrame(
         merges, "merge_rank int, pair string, token string, c bigint"
     )
