@@ -40,6 +40,8 @@ def _fields_of(buf: bytes):
             v, pos = wire.decode_varint(buf, pos)
         elif wt == wire.WT_LEN:
             n, pos = wire.decode_varint(buf, pos)
+            if pos + n > len(buf):
+                raise ValueError("truncated message: LEN field overruns buffer")
             v, pos = buf[pos : pos + n], pos + n
         elif wt == wire.WT_I64:
             v, pos = wire.read_fixed64(buf, pos)

@@ -276,6 +276,12 @@ class Message:
         t = fd.type
         if wt == wire.WT_LEN:
             ln, pos = wire.decode_varint(buf, pos)
+            if pos + ln > len(buf):
+                # Mirror real protobuf's DecodeError contract: a
+                # declared length past the buffer end is a truncated/
+                # corrupted frame and must raise, never silently parse
+                # a shortened payload (round-9 ADVICE).
+                raise ValueError("truncated message: LEN field overruns buffer")
             chunk = buf[pos : pos + ln]
             pos += ln
             if t == D.TYPE_MESSAGE:

@@ -83,6 +83,8 @@ def skip_field(buf: bytes, pos: int, wire_type: int) -> int:
         return pos + 8
     if wire_type == WT_LEN:
         n, pos = decode_varint(buf, pos)
+        if pos + n > len(buf):
+            raise ValueError("truncated message: skipped LEN field overruns buffer")
         return pos + n
     if wire_type == WT_I32:
         return pos + 4

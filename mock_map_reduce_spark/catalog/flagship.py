@@ -153,6 +153,12 @@ def q_remote_fs_impl_scan_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     this entry proves it doesn't on real data. Companion behavior
     proof (checksum sidecars appear/disappear with the impl swap):
     tests/test_remote_fs.py.
+
+    NOTE: the swap mutates the session-global hadoopConfiguration for
+    the duration of the scan — this entry assumes single-threaded
+    query execution within the session (true for the driver gate, the
+    bench, and the oracle sweep); a concurrent query in the same
+    session could read file:// through RawLocalFileSystem mid-override.
     """
     from mock_map_reduce_spark.sources.remote_fs import (
         RAW_LOCAL_IMPL,
@@ -166,7 +172,15 @@ def q_remote_fs_impl_scan_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     original = hconf.get("fs.file.impl")
     set_scheme_impl(spark, "file", RAW_LOCAL_IMPL)
     try:
-        assert scheme_impl_in_use(spark, "file:///") == RAW_LOCAL_IMPL
+        # explicit raise, not assert: the whole point of the entry is
+        # that the swapped impl served the scan — `python -O` must not
+        # silently drop the check (round-9 ADVICE)
+        in_use = scheme_impl_in_use(spark, "file:///")
+        if in_use != RAW_LOCAL_IMPL:
+            raise RuntimeError(
+                f"fs.file.impl swap did not take effect: scan would be"
+                f" served by {in_use!r}, expected {RAW_LOCAL_IMPL!r}"
+            )
         import os
 
         docs = spark.read.parquet(

@@ -154,3 +154,51 @@ def test_split_submessage_chunks_merge_not_replace():
     msg = sm.StatefulProcessorCall()
     msg.ParseFromString(bytes(out))
     assert msg.getValueState.stateName == "s" and msg.getValueState.schema == "j"
+
+
+def test_truncated_len_field_raises_not_silently_shortens():
+    # A LEN field whose declared length runs past the buffer is a
+    # corrupted/truncated frame: real protobuf raises DecodeError, so
+    # the minimal runtime must raise too — both when the field is
+    # known (parsed) and when it is unknown (skipped).
+    good = sm.StateCallCommand(stateName="abcdef").SerializeToString()
+    with pytest.raises(ValueError, match="truncated"):
+        sm.StateCallCommand().ParseFromString(good[:-2])
+    # unknown-field skip path: tag for field 1000, LEN, length 100, no payload
+    out = bytearray()
+    wire.encode_tag(1000, wire.WT_LEN, out)
+    wire.encode_varint(100, out)
+    with pytest.raises(ValueError, match="truncated"):
+        sm.StateCallCommand().ParseFromString(bytes(out))
+
+
+def test_defers_to_real_protobuf_when_one_is_installed(tmp_path, monkeypatch):
+    # Simulate a site-packages protobuf BEHIND the repo root on
+    # sys.path (the shadowing scenario from round-9 ADVICE): a fresh
+    # import of google.protobuf must resolve to IT, not the vendored
+    # minimal runtime.
+    import subprocess
+    import sys as _sys
+
+    site = tmp_path / "site"
+    pkg = site / "google" / "protobuf"
+    pkg.mkdir(parents=True)
+    (site / "google" / "__init__.py").write_text(
+        "__path__ = __import__('pkgutil').extend_path(__path__, __name__)\n"
+    )
+    (pkg / "__init__.py").write_text("__version__ = '5.99.0-fake-real'\n")
+    (pkg / "json_format.py").write_text("")  # the real-distribution marker
+    (pkg / "descriptor.py").write_text("REAL = True\n")
+    code = (
+        "import sys; sys.path.insert(0, %r); sys.path.insert(0, %r)\n"
+        "import google.protobuf as gp\n"
+        "from google.protobuf import descriptor\n"
+        "assert gp.__version__ == '5.99.0-fake-real', gp.__version__\n"
+        "assert descriptor.REAL\n"
+        "print('deferred ok')\n"
+    ) % (str(site), "/root/repo")
+    res = subprocess.run(
+        [_sys.executable, "-c", code], capture_output=True, text=True, cwd="/tmp"
+    )
+    assert res.returncode == 0, res.stderr
+    assert "deferred ok" in res.stdout

@@ -32,7 +32,10 @@ REPLICAS = 12000
 
 
 def checksum(df) -> tuple[int, str]:
-    """(row_count, order-insensitive md5-xor checksum) of a frame."""
+    """(row_count, order-insensitive checksum) of a frame: the SUM of
+    each row's 48-bit md5 prefix (decimal-cast, so the sum is exact),
+    md5'd together with the row count. Addition is commutative, so
+    the value is row-order-independent; it is NOT an xor construction."""
     from pyspark.sql import functions as F
 
     row = df.select(
