@@ -133,6 +133,74 @@ def q_streaming_type_counts_mapstate(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "streaming_session_timeout_evictions",
+    oracle=f"""
+WITH {_E},
+ems AS (SELECT user_id, epoch_ms(t) AS ms, event_id FROM e),
+wm AS (SELECT MAX(ms) - 7200000 AS w FROM ems),
+s AS (
+  SELECT user_id, ms,
+         CASE WHEN ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+                   > 1800000 THEN 1 ELSE 0 END AS brk
+  FROM ems
+),
+g AS (
+  SELECT user_id, ms,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ms
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+),
+sess AS (
+  SELECT user_id, sid, MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms,
+         COUNT(*) AS n_events
+  FROM g GROUP BY 1, 2
+),
+mx AS (SELECT user_id, MAX(sid) AS msid FROM sess GROUP BY 1)
+SELECT s.user_id, session_start_ms, session_end_ms, n_events,
+       CASE WHEN sid < msid THEN 'input' ELSE 'timer' END AS via
+FROM sess s JOIN mx USING (user_id)
+WHERE sid < msid OR session_end_ms + 1800000 <= (SELECT w FROM wm)
+""",
+)
+def q_streaming_session_timeout_evictions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """transformWithStateInPandas TIMERS in the hash gate: per-user
+    session tracking where idle sessions are EVICTED by an event-time
+    timer (registerTimer / handleExpiredTimer / deleteTimer) — the
+    state-expiry surface that keeps the store bounded at unbounded
+    ingest. Sessions closed by a >30 min silence inside the input carry
+    via='input'; the last open session of a user is emitted with
+    via='timer' iff its deadline (last event + 30 min) is at or before
+    the final watermark (max event time - 2 h) — users still inside
+    the horizon keep their timer pending and emit nothing. The oracle
+    replays exactly that: gap-sessionize in SQL, tag all non-final
+    sessions 'input', and keep a final session only when its deadline
+    cleared the watermark. Timers fire on WATERMARK, not wall clock,
+    so the replay is deterministic (see
+    streaming/stateful.py:session_timeout_evictions)."""
+    from mock_map_reduce_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        session_timeout_evictions,
+        ship_vendored_protobuf,
+    )
+
+    ship_vendored_protobuf(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream = session_timeout_evictions(read_events_stream(spark, sf_dir))
+        run_to_memory(stream, "drv_stream_tws_timers", mode="append")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return spark.table("drv_stream_tws_timers")
+
+
+@query(
     "streaming_session_counts",
     oracle=f"""
 WITH {_E},

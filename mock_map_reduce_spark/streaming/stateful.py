@@ -333,6 +333,124 @@ def ewma_stream_per_user(events: DataFrame, alpha: float = 0.2) -> DataFrame:
         )
     )
 
+SESSION_EVICT_SCHEMA = (
+    "user_id long, session_start_ms long, session_end_ms long,"
+    " n_events long, via string"
+)
+
+
+def session_timeout_evictions(
+    events: DataFrame, gap_ms: int = 30 * 60 * 1000, watermark: str = "2 hours"
+) -> DataFrame:
+    """Session tracking with TIMER-driven eviction — the
+    transformWithStateInPandas TIMER surface (register / expire /
+    delete), completing the typed-state API next to ValueState /
+    ListState (distinct_types_per_user) and MapState
+    (type_counts_per_user).
+
+    Per user, a ValueState holds the open session (start_ms, last_ms,
+    n). Input rows extend it; a >gap_ms silence INSIDE a batch closes
+    the session inline (via='input'). After each batch the processor
+    re-arms ONE event-time timer at last_ms + gap_ms; when the
+    WATERMARK passes it, ``handleExpiredTimer`` fires, emits the
+    session (via='timer') and clears the state — the idle-key eviction
+    that bounds the state store at unbounded ingest. Users whose last
+    event is within gap_ms of the final watermark keep their timer
+    pending and emit nothing — exactly the live-session set.
+
+    Determinism (the oracle contract): timers fire on watermark
+    (event-time), never wall clock, so a replay of the same input
+    produces the same evictions — via='timer' iff
+    last_ms + gap_ms <= final watermark, where the final watermark is
+    max(event time) - ``watermark``. Assumes the finite replay arrives
+    in one micro-batch (single parquet file), as all stateful entries
+    here do; the timer batch itself is the no-new-data micro-batch
+    Spark triggers when the watermark advances.
+
+    Scale: state per key is 3 longs + 1 timer — O(active users), not
+    O(events); the timer wheel is the state store's, sharded with the
+    keys.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    class SessionEvict(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess", "start_ms long, last_ms long, n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):  # noqa: ANN001
+            start = last = None
+            n = 0
+            if self._sess.exists():
+                start, last, n = (int(x) for x in self._sess.get())
+            ts_all: list[int] = []
+            for pdf in rows:
+                ts_all.extend(int(t) for t in pdf["ts_ms"])
+            out: list[tuple] = []
+            for t in sorted(ts_all):
+                if start is None:
+                    start = last = t
+                    n = 1
+                elif t - last > gap_ms:
+                    out.append((key[0], start, last, n, "input"))
+                    start = last = t
+                    n = 1
+                else:
+                    last = max(last, t)
+                    n += 1
+            # re-arm: exactly one pending timer per key, at the open
+            # session's deadline
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._sess.update((start, last, n))
+            self._handle.registerTimer(last + gap_ms)
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "user_id", "session_start_ms", "session_end_ms",
+                        "n_events", "via",
+                    ],
+                )
+
+        def handleExpiredTimer(
+            self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+        ):  # noqa: ANN001
+            if self._sess.exists():
+                start, last, n = (int(x) for x in self._sess.get())
+                self._sess.clear()
+                yield pd.DataFrame(
+                    [(key[0], start, last, n, "timer")],
+                    columns=[
+                        "user_id", "session_start_ms", "session_end_ms",
+                        "n_events", "via",
+                    ],
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", F.unix_millis("ts").alias("ts_ms"), "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SessionEvict(),
+            outputStructType=SESSION_EVICT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )

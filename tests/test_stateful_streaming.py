@@ -189,3 +189,76 @@ def test_type_counts_mapstate(spark, sf_dir):
         .collect()
     }
     assert got == batch
+
+
+def test_session_timeout_evictions_timer_semantics(spark, sf_dir):
+    """transformWithStateInPandas TIMERS: the last open session of a
+    user is emitted via='timer' iff its deadline (last event + gap)
+    is at or before the final watermark; sessions broken by in-input
+    silence carry via='input'. Pins the register/expire/delete timer
+    path and its event-time (replay-deterministic) firing rule."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not available")
+    from mock_map_reduce_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        session_timeout_evictions,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    stream = session_timeout_evictions(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tws_timer_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    rows = spark.sql("SELECT * FROM tws_timer_out").collect()
+    assert rows, "expected at least one session emission"
+
+    gap_ms, wm_delay_ms = 30 * 60 * 1000, 2 * 60 * 60 * 1000
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.unix_millis("ts").alias("ms"))
+        .collect()
+    )
+    final_wm = max(r.ms for r in ev) - wm_delay_ms
+    # rebuild expected sessions per user
+    by_user: dict[int, list[int]] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r.ms)
+    expected = set()
+    for u, ts in by_user.items():
+        ts.sort()
+        sessions, start, last, n = [], ts[0], ts[0], 1
+        for t in ts[1:]:
+            if t - last > gap_ms:
+                sessions.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        for s in sessions:  # all but the final session: closed by input
+            expected.add((u, *s, "input"))
+        if last + gap_ms <= final_wm:  # final session: timer eviction
+            expected.add((u, start, last, n, "timer"))
+    got = {
+        (r.user_id, r.session_start_ms, r.session_end_ms, r.n_events, r.via)
+        for r in rows
+    }
+    assert got == expected
+    assert any(v == "timer" for *_, v in got), "no timer ever fired"
+    # at least one user must still be inside the horizon (timer pending)
+    assert len({u for u, *_ in got if _[-1] == "timer"}) < len(by_user)
