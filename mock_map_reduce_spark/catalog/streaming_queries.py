@@ -283,6 +283,52 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_interval_join_outer",
+    oracle=f"""
+WITH {_E},
+c AS (SELECT user_id, event_id AS l_id, t AS l_ts FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS r_id, t AS r_ts FROM e WHERE event_type = 'purchase'),
+wm AS (
+  SELECT LEAST((SELECT epoch_ms(MAX(l_ts)) FROM c),
+               (SELECT epoch_ms(MAX(r_ts)) FROM p)) - 7200000 AS wms
+),
+j AS (
+  SELECT c.user_id, l_id, r_id, l_ts
+  FROM c LEFT JOIN p
+    ON c.user_id = p.user_id
+   AND r_ts > l_ts AND r_ts <= l_ts + INTERVAL 30 MINUTE
+)
+SELECT user_id, l_id, r_id FROM j
+WHERE r_id IS NOT NULL
+   OR epoch_us(l_ts) + 1800000000 < (SELECT wms FROM wm) * 1000
+""",
+)
+def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the OUTER-emission /
+    state-eviction semantics in the hash gate, next to the inner
+    variant: matched (click, purchase) pairs stream out as they join;
+    an unmatched click surfaces with NULL r_id only once the watermark
+    proves no qualifying purchase can still arrive, the same moment
+    its join state is dropped (what keeps outer stream-stream joins
+    bounded at unbounded ingest). Clicks still inside the horizon are
+    withheld entirely.
+
+    The oracle replays Spark's actual emission rule, pinned by probe
+    (tests/test_streaming_windows.py): the global watermark is the MIN
+    over both watermarked streams of (that stream's max event time,
+    ms-floored, minus the 2 h delay) — each side's watermark tracks
+    its own post-filter maximum, NOT the source's — and a NULL row is
+    emitted iff its match deadline (l_ts + 30 min) is STRICTLY before
+    that watermark (contrast the timer entry above, where expiry fires
+    at deadline <= watermark)."""
+    from mock_map_reduce_spark.streaming import interval_join_outer_stream
+
+    stream = interval_join_outer_stream(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "drv_stream_ivjoin_outer", mode="append")
+    return spark.table("drv_stream_ivjoin_outer")
+
+
+@query(
     "streaming_rollup_minute_to_hour",
     oracle=f"""
 WITH {_E}

@@ -10,6 +10,7 @@ from mock_map_reduce_spark.streaming.windows import (
     cdc_upsert_stream_to_snapshot,
     dedup_stream,
     dedup_stream_bounded,
+    interval_join_outer_stream,
     interval_join_stream,
     minute_partials_stream,
     run_to_memory,
@@ -26,6 +27,7 @@ __all__ = [
     "cdc_upsert_stream_to_snapshot",
     "dedup_stream",
     "dedup_stream_bounded",
+    "interval_join_outer_stream",
     "interval_join_stream",
     "minute_partials_stream",
     "run_to_memory",

@@ -231,6 +231,54 @@ def interval_join_stream(
     return left.join(right, cond).select("user_id", "l_id", "r_id")
 
 
+def interval_join_outer_stream(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the state-EVICTION
+    side of the attribution join: matched (click, purchase) pairs are
+    emitted as they join; an UNMATCHED click is emitted with a NULL
+    r_id only once the watermark proves no qualifying purchase can
+    still arrive (right watermark past l_ts + within), which is also
+    the moment its buffered state is dropped. Clicks still inside the
+    horizon are held back entirely — so the output is deterministic
+    for a replay: NULL rows are exactly the clicks with
+    l_ts + within <= final watermark and no partner.
+
+    Scale: identical state bound to the inner variant (both sides
+    expire on watermark); the NULL-emission path is what makes outer
+    stream-stream joins safe at unbounded ingest — no unmatched row
+    waits forever.
+    """
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("l_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    cond = (
+        (left.user_id == right.r_user)
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return left.join(right, cond, "leftOuter").select("user_id", "l_id", "r_id")
+
+
 def stream_to_parquet_exactly_once(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str
 ):

@@ -408,3 +408,46 @@ def test_cdc_upsert_recovers_snapshot_across_restart(spark, tmp_path):
     snap3 = cdc_upsert_stream_to_snapshot(stream(), workdir=work)
     got = {(r.user_id, r.value) for r in snap3.collect()}
     assert got == {(1, 10.0), (2, 20.0), (3, 30.0)}
+
+
+def test_interval_join_outer_null_emission_boundary(spark, tmp_path):
+    """Pins the left-outer stream-stream join's NULL-emission rule the
+    catalog oracle (streaming_interval_join_outer) encodes:
+      * the global watermark is the MIN over both watermarked streams
+        of (that stream's post-filter max event time - delay) — an
+        empty or lagging right side HOLDS BACK left-side evictions;
+      * a NULL row is emitted iff its deadline (l_ts + within) is
+        STRICTLY before that watermark (== watermark is withheld).
+    """
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 07:29:59.999",  # deadline 07:59:59.999 < wm
+                    "2024-01-01 07:30:00.000",  # deadline == wm -> withheld
+                    "2024-01-01 07:30:00.001",  # deadline  > wm -> withheld
+                    "2024-01-01 10:00:00.000",  # click max anchor
+                    "2024-01-01 10:00:00.000",  # purchase max anchor
+                ]
+            ),
+            "user_id": [1, 2, 3, 98, 99],
+            "event_type": ["click", "click", "click", "click", "purchase"],
+            "value": [1.0] * 5,
+            "props": [""] * 5,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    stream = sw.interval_join_outer_stream(
+        sw.read_events_stream(spark, str(tmp_path))
+    )
+    sw.run_to_memory(stream, "ivj_outer_probe", mode="append")
+    got = sorted(
+        (r.user_id, r.l_id, r.r_id)
+        for r in spark.sql("SELECT * FROM ivj_outer_probe").collect()
+    )
+    # wm = min(10:00, 10:00) - 2h = 08:00; only user 1's deadline is
+    # strictly inside it. Users 2/3 (boundary/after) and 98 (inside
+    # horizon) are withheld; no pair ever matches.
+    assert got == [(1, 1, None)]

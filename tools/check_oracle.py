@@ -117,6 +117,16 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {ex}")
             n_fail += 1
             continue
+        finally:
+            # Sweep hygiene: the result is fully local once collected,
+            # so any materialize() pins the query created are dead —
+            # drop them here or the 250-query session accumulates
+            # MEMORY_AND_DISK blocks for the whole sweep (round-9
+            # ADVICE on materialize lifecycle).
+            try:
+                spark.catalog.clearCache()
+            except Exception:  # noqa: BLE001
+                pass
         dt = time.time() - t0
         if name not in oracles:
             ok = len(rows) >= 0
