@@ -248,6 +248,29 @@ def main() -> None:
             indent=2,
         )
         fh.write("\n")
+    # Round-9 VERDICT item 6: cross-round normalized totals should be
+    # derivable from PROGRESS.jsonl alone. The driver appends its own
+    # {ts, wall_s, round, ...} lines there; bench appends one tagged
+    # "kind": "bench_calib" line per run with the host-state brackets,
+    # so {total, calib_mt_pre, calib_mt_post} live next to the driver's
+    # round markers without touching the driver's schema.
+    with open(os.path.join(REPO, "PROGRESS.jsonl"), "a") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "ts": round(time.time(), 1),
+                    "kind": "bench_calib",
+                    "sf": sf,
+                    "total_min_sec": total,
+                    "total_median_sec": total_median,
+                    "calib_sec": calib,
+                    "calib_mt_pre": calib_mt_pre,
+                    "calib_mt_post": calib_mt,
+                },
+                separators=(",", ":"),
+            )
+            + "\n"
+        )
 
 
 if __name__ == "__main__":

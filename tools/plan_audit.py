@@ -55,6 +55,12 @@ DEDUP_SHUFFLE_CEILINGS: dict[str, int] = {
     "streaming_distinct_types_stateful": 1 << 20,
     "streaming_type_counts_mapstate": 1 << 20,
     "streaming_session_timeout_evictions": 2 << 20,
+    # Stream-stream interval join: BOTH sides of the self-join are
+    # keyed exchanges of the events table (plus state-store IO that
+    # does not count as shuffle), so the expected volume is ~2x the
+    # TWS rows above. The regression guarded is a lost equi-key (pure
+    # time-range join → per-batch cartesian re-pairing).
+    "streaming_interval_join_outer": 4 << 20,
 }
 
 
