@@ -771,18 +771,24 @@ def _hinge_chain(patterns: list[str], n_steps: int, scale: int) -> tuple[str, st
 ),
 w0 AS MATERIALIZED (SELECT {", ".join(f"CAST(0 AS BIGINT) AS w{i}" for i in range(k))})"""
     ]
+    # The weight CTE is joined in as a 1-row CROSS JOIN and the margin
+    # hoisted to one column — NOT referenced via per-term scalar
+    # subqueries inside every aggregate: k**2 scalar subqueries per
+    # epoch made DuckDB's plan blow past 65 GB / >10 min on the 500k-doc
+    # sf10 corpus, while this shape streams in seconds.
     for t in range(1, n_steps + 1):
-        dot = " + ".join(f"(SELECT w{i} FROM w{t - 1}) * x{i}" for i in range(k))
+        dot = " + ".join(f"wp.w{i} * x{i}" for i in range(k))
         grads = ", ".join(
-            f"COALESCE(SUM(CASE WHEN y * ({dot}) < {scale} THEN y * x{i} ELSE 0 END), 0) AS d{i}"
+            f"COALESCE(SUM(CASE WHEN m < {scale} THEN y * x{i} ELSE 0 END), 0) AS d{i}"
             for i in range(k)
         )
         upd = ", ".join(f"wp.w{i} + g.d{i} AS w{i}" for i in range(k))
         parts.append(
-            f"""g{t} AS MATERIALIZED (SELECT {grads} FROM f),
+            f"""g{t} AS MATERIALIZED (SELECT {grads}
+  FROM (SELECT f.*, y * ({dot}) AS m FROM f, w{t - 1} wp)),
 w{t} AS MATERIALIZED (SELECT {upd} FROM w{t - 1} wp, g{t} g)"""
         )
-    dotn = " + ".join(f"(SELECT w{i} FROM w{n_steps}) * x{i}" for i in range(k))
+    dotn = " + ".join(f"wn.w{i} * x{i}" for i in range(k))
     return ",\n".join(parts), dotn, k
 
 
@@ -800,7 +806,7 @@ def _hinge_oracle(patterns: list[str], n_steps: int, scale: int) -> str:
 UNION ALL
 SELECT '__n_train', CAST(COUNT(*) AS BIGINT) FROM f
 UNION ALL
-SELECT '__n_correct', CAST(COALESCE(SUM(CASE WHEN y * ({dotn}) > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM f"""
+SELECT '__n_correct', CAST(COALESCE(SUM(CASE WHEN y * ({dotn}) > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM f, w{n_steps} wn"""
     )
 
 
@@ -811,7 +817,7 @@ def _hinge_score_oracle(patterns: list[str], n_steps: int, scale: int) -> str:
         + f"""
 SELECT doc_id, CAST({dotn} AS BIGINT) AS margin,
        CAST(CASE WHEN ({dotn}) > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
-FROM f"""
+FROM f, w{n_steps} wn"""
     )
 
 

@@ -78,6 +78,63 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
+# --- streaming (memory-bounded) gate -------------------------------
+# MMR_STREAM_HASH=1 swaps the collect-then-sort hash above for a
+# commutative multiset digest (sum of per-row sha256 mod 2^256)
+# computed row-at-a-time, so the 30M-row pair-emitter results of an
+# sf10 sweep never materialize as a Python list: the default path's
+# list+sorted-lines peaked past 40 GB per process and the kernel
+# OOM-killed three of four parallel sweep chunks. Both engines are
+# digested with the SAME function, so PASS/FAIL semantics are
+# unchanged; only the hash VALUE differs from the default path (it is
+# never compared across modes). Mismatch diff samples are skipped in
+# this mode — rerun the failing query without the flag on a smaller sf
+# to see rows.
+
+STREAM_HASH = os.environ.get("MMR_STREAM_HASH") == "1"
+_DIGEST_MOD = 1 << 256
+
+
+def stream_digest(cols: list[str], row_iter) -> tuple[int, str]:
+    """(row_count, commutative value digest) over an iterable of row
+    tuples, O(1) memory."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    total = 0
+    n = 0
+    for r in row_iter:
+        line = "\x1f".join(_norm_cell(r[i]) for i in order) + "\n"
+        total = (total + int.from_bytes(hashlib.sha256(line.encode()).digest())) % _DIGEST_MOD
+        n += 1
+    return n, f"{total:064x}"
+
+
+def duck_rows(res, batch: int = 65536):
+    while True:
+        chunk = res.fetchmany(batch)
+        if not chunk:
+            return
+        yield from chunk
+
+
+def spark_rows_streaming(df):
+    """Row tuples without a driver-side list-of-Rows.
+
+    Fast path: one Arrow collect (tens of bytes/row instead of the ~1 KB
+    a Python Row costs), converted to Python objects one 64k batch at a
+    time. Map/struct/variant columns fall back to toLocalIterator —
+    their Arrow as_py() representation (list-of-tuples / dict) diverges
+    from what Row yields, and hash parity with the DuckDB side is
+    calibrated against Row semantics.
+    """
+    dtypes_str = " ".join(t for _, t in df.dtypes)
+    if any(k in dtypes_str for k in ("map<", "struct<", "variant")):
+        yield from (tuple(r) for r in df.toLocalIterator(prefetchPartitions=True))
+        return
+    tbl = df.toArrow()
+    for batch in tbl.to_batches(max_chunksize=65536):
+        yield from zip(*(c.to_pylist() for c in batch.columns))
+
+
 def main() -> int:
     argv = sys.argv[1:]
     vanilla = "--vanilla" in argv
@@ -100,6 +157,14 @@ def main() -> int:
 
         spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # Bound the ORACLE's memory so a DuckDB blow-up (observed: the
+    # unrolled-epoch hinge-training SQL at sf10 grew the process past
+    # 65 GB and the kernel OOM-killed the whole sweep) degrades to a
+    # spill or a per-query OutOfMemoryException instead of killing the
+    # gate. Overridable for boxes of other sizes.
+    con.execute(
+        f"SET memory_limit='{os.environ.get('MMR_DUCKDB_MEMLIMIT', '24GB')}'"
+    )
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
@@ -112,7 +177,12 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             cols = df.columns
-            rows = [tuple(r) for r in df.collect()]
+            if STREAM_HASH:
+                rows = None
+                n_rows, s_digest = stream_digest(cols, spark_rows_streaming(df))
+            else:
+                rows = [tuple(r) for r in df.collect()]
+                n_rows, s_digest = len(rows), None
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {ex}")
             n_fail += 1
@@ -129,21 +199,25 @@ def main() -> int:
                 pass
         dt = time.time() - t0
         if name not in oracles:
-            ok = len(rows) >= 0
-            print(f"rows-only  {name}: {len(rows)} rows  [{dt:.1f}s]")
+            print(f"rows-only  {name}: {n_rows} rows  [{dt:.1f}s]")
             n_rowsonly += 1
             continue
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            if STREAM_HASH:
+                orows = None
+                n_orows, o_digest = stream_digest(ocols, duck_rows(res))
+            else:
+                orows = res.fetchall()
+                n_orows, o_digest = len(orows), None
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {ex}")
             n_fail += 1
             continue
         problems = []
-        if len(rows) != len(orows):
-            problems.append(f"rowcount spark={len(rows)} duck={len(orows)}")
+        if n_rows != n_orows:
+            problems.append(f"rowcount spark={n_rows} duck={n_orows}")
         if sorted(cols) != sorted(ocols):
             problems.append(f"schema spark={sorted(cols)} duck={sorted(ocols)}")
         else:
@@ -165,20 +239,28 @@ def main() -> int:
                 want = type_map.get(str(dtype), str(dtype).lower())
                 if sdt.get(col) != want:
                     problems.append(f"type {col}: spark={sdt.get(col)} duck={want}")
-        if not problems and value_hash(cols, rows) != value_hash(ocols, orows):
-            problems.append("value-hash mismatch")
-            # show a diff sample
-            s = {"\x1f".join(_norm_cell(r[i]) for i in sorted(range(len(cols)), key=lambda i: cols[i])) for r in rows}
-            o = {"\x1f".join(_norm_cell(r[i]) for i in sorted(range(len(ocols)), key=lambda i: ocols[i])) for r in orows}
-            for x in list(s - o)[:3]:
-                problems.append(f"  spark-only: {x!r}")
-            for x in list(o - s)[:3]:
-                problems.append(f"  duck-only:  {x!r}")
+        if not problems:
+            if STREAM_HASH:
+                if s_digest != o_digest:
+                    problems.append(
+                        "value-digest mismatch (streaming mode: rerun "
+                        "without MMR_STREAM_HASH at a smaller sf for a "
+                        "row diff)"
+                    )
+            elif value_hash(cols, rows) != value_hash(ocols, orows):
+                problems.append("value-hash mismatch")
+                # show a diff sample
+                s = {"\x1f".join(_norm_cell(r[i]) for i in sorted(range(len(cols)), key=lambda i: cols[i])) for r in rows}
+                o = {"\x1f".join(_norm_cell(r[i]) for i in sorted(range(len(ocols)), key=lambda i: ocols[i])) for r in orows}
+                for x in list(s - o)[:3]:
+                    problems.append(f"  spark-only: {x!r}")
+                for x in list(o - s)[:3]:
+                    problems.append(f"  duck-only:  {x!r}")
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS  {name}: {len(rows)} rows  [{dt:.1f}s]")
+            print(f"PASS  {name}: {n_rows} rows  [{dt:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     return 1 if n_fail else 0
