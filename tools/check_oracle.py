@@ -148,10 +148,14 @@ def main() -> int:
         # Mirror the driver: a bare session, no repo confs. Queries must
         # self-provision anything they need (runtime conf.set in
         # load_table etc.) for this to stay green.
+        # MMR_VANILLA_MASTER caps cores when several sweep CHUNKS share
+        # the box (the sf10 full sweep runs 4 processes); the default
+        # stays the driver's local[*].
         from pyspark.sql import SparkSession
 
-        spark = SparkSession.builder.master("local[*]").getOrCreate()
-        print("session: VANILLA (driver-style, no engine confs)")
+        master = os.environ.get("MMR_VANILLA_MASTER", "local[*]")
+        spark = SparkSession.builder.master(master).getOrCreate()
+        print(f"session: VANILLA (driver-style, no engine confs, {master})")
     else:
         from mock_map_reduce_spark import get_spark
 
