@@ -139,14 +139,26 @@ def main() -> None:
     # per replica. Distinct token shapes ('xg' vs 'xu') keep a group
     # suffix from ever colliding with a unique suffix. n_chars is
     # recomputed so it stays length(text) (a source invariant).
+    #
+    # Suffix ids are LETTER-ENCODED (digits translated a-j): the text
+    # pipeline's tokenizer splits on [^a-z]+, so a digit-bearing
+    # suffix like 'xg3x' would tokenize to ['xg','x'] for EVERY group
+    # — all suffixed replicas of a source doc would share one token
+    # stream, every shingle's doc-freq would blow past MAX_DOC_FREQ,
+    # and the stop-shingle cap would degenerate the whole gram-based
+    # dedup family to empty output (observed at reps=100, group=10).
     grp = args.doc_dup_group if args.doc_dup_group > 0 else args.reps
+
+    def letters(expr: str) -> str:
+        return f"translate(CAST({expr} AS VARCHAR), '0123456789', 'abcdefghij')"
+
     doc_text = (
         "CASE"
         f" WHEN {{r}} // {grp} = 0 AND doc_id % 100 < {args.doc_dup_pct} THEN text"
         f" WHEN doc_id % 100 < {args.doc_dup_pct}"
-        f" THEN text || ' xg' || CAST({{r}} // {grp} AS VARCHAR) || 'x'"
+        f" THEN text || ' xg' || {letters(f'{{r}} // {grp}')} || 'x'"
         " WHEN {r} = 0 THEN text"
-        " ELSE text || ' xu' || CAST({r} AS VARCHAR) || 'x'"
+        f" ELSE text || ' xu' || {letters('{r}')} || 'x'"
         " END"
     )
     write(
