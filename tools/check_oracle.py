@@ -154,7 +154,17 @@ def main() -> int:
         from pyspark.sql import SparkSession
 
         master = os.environ.get("MMR_VANILLA_MASTER", "local[*]")
-        spark = SparkSession.builder.master(master).getOrCreate()
+        builder = SparkSession.builder.master(master)
+        # GATE infrastructure, not an engine conf: the streaming-hash
+        # path still materializes each result as one Arrow table on
+        # the driver, so an sf10 pair-emitter result (~25M rows) trips
+        # the default 1g maxResultSize before the digest ever runs.
+        # Raising it only widens the gate's own collect; queries still
+        # see a driver-default session. Unset = driver parity.
+        maxres = os.environ.get("MMR_DRIVER_MAXRESULT")
+        if maxres:
+            builder = builder.config("spark.driver.maxResultSize", maxres)
+        spark = builder.getOrCreate()
         print(f"session: VANILLA (driver-style, no engine confs, {master})")
     else:
         from mock_map_reduce_spark import get_spark
@@ -169,6 +179,14 @@ def main() -> int:
     con.execute(
         f"SET memory_limit='{os.environ.get('MMR_DUCKDB_MEMLIMIT', '24GB')}'"
     )
+    # Per-process spill dir: DuckDB's default temp_directory is the
+    # RELATIVE '.tmp', so parallel sweep chunks running from the same
+    # cwd share it — one process cleaning up removed another's spill
+    # file mid-query and DuckDB aborted the whole process with a C++
+    # terminate (IOException in a destructor), killing the chunk.
+    tmpdir = f"/tmp/mmr_duckdb_tmp_{os.getpid()}"
+    os.makedirs(tmpdir, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmpdir}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
