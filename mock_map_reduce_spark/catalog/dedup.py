@@ -66,6 +66,84 @@ _BANDS = "bands AS (\n" + "\n  UNION ALL\n".join(
     for b in range(BANDS)
 ) + "\n)"
 
+# LSH candidate pairs — shared between the estimate/cluster oracles.
+_CAND = """
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
+
+# Candidate-first exact-Jaccard verify: attach each side's FULL gram
+# set as a list and intersect in-row. Mirrors _fuzzy_components'
+# candidate-first shape (catalog/dedup.py) and is the memory-bounded
+# formulation: both joins build on the 1-row-per-doc glist (bounded),
+# the candidate list streams through as the probe side. The previous
+# gram-level self-join materialized C(doc_freq, 2) rows per gram
+# BEFORE any candidate filter — at the sf10 stress corpus (every base
+# shingle in 100 docs) that intermediate is ~1.2B rows and the oracle
+# became the bottleneck the engine plan had already designed away.
+_GLIST = """
+glist AS MATERIALIZED (SELECT doc_id, list(gram) AS gs, count(*) AS ng FROM grams GROUP BY doc_id)"""
+
+_EDGES_VERIFIED = f"""
+edges AS MATERIALIZED (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN glist ga ON id_a = ga.doc_id
+  JOIN glist gb ON id_b = gb.doc_id
+  WHERE CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+        / (ga.ng + gb.ng - len(list_intersect(ga.gs, gb.gs))) >= {JACCARD_THRESHOLD}
+)"""
+
+
+def _min_prop_comp(k: int = 12) -> str:
+    """CTE chain ``sym -> comp`` by K unrolled min-label-propagation
+    rounds + a convergence probe.
+
+    Replaces the recursive transitive-closure CTE (``reach``): that
+    formulation materializes every (node, reachable-node) pair —
+    O(cluster_size²) rows — and its per-iteration join is
+    O(edges × degree). On the sf10 stress corpus (100-member near-dup
+    cliques, ~25M edges) DuckDB spilled >70 GB and died; label
+    propagation is O(edges) per round and converges in
+    eccentricity(min-node) ≤ K rounds. ``nonconv`` feeds the callers'
+    sentinel UNION: if labels still move between rounds K and K+1 the
+    oracle emits an impossible extra row and the gate fails LOUDLY
+    instead of silently under-merging. Exactly the fixpoint the engine
+    side iterates (operators/dedup.connected_components), so agreement
+    is bit-for-bit.
+
+    Every step CTE is AS MATERIALIZED: DuckDB 1.0 inlines CTEs at each
+    reference, and l_{i+1} reads l_i twice — inlining would copy the
+    whole upstream pipeline 2^K times (observed as a "too many open
+    files" plan explosion before any row flowed).
+    """
+    steps = [
+        "l0 AS MATERIALIZED (SELECT s AS n, least(s, min(t)) AS lab FROM sym GROUP BY s)"
+    ]
+    for i in range(1, k + 2):
+        steps.append(
+            f"l{i} AS MATERIALIZED (\n"
+            f"  SELECT c.n, least(min(c.lab), coalesce(min(p.lab), min(c.lab))) AS lab\n"
+            f"  FROM l{i - 1} c\n"
+            f"  LEFT JOIN sym e ON c.n = e.t\n"
+            f"  LEFT JOIN l{i - 1} p ON e.s = p.n\n"
+            f"  GROUP BY c.n\n"
+            f")"
+        )
+    return (
+        ",\n".join(steps)
+        + f""",
+nonconv AS (
+  SELECT 1 AS bad FROM l{k} a JOIN l{k + 1} b ON a.n = b.n AND a.lab <> b.lab LIMIT 1
+),
+comp AS MATERIALIZED (
+  SELECT doc_id, coalesce(l.lab, doc_id) AS component
+  FROM documents LEFT JOIN l{k + 1} l ON doc_id = l.n
+)"""
+    )
+
 
 @query(
     "dedup_exact",
@@ -373,28 +451,15 @@ WITH {_TOKS},
 {_GRAMS},
 {_SIGS},
 {_BANDS},
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a
-  JOIN bands b ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
-sym AS (SELECT id_a AS s, id_b AS t FROM cand UNION SELECT id_b, id_a FROM cand),
-reach AS (
-  WITH RECURSIVE r(s, t) AS (
-    SELECT s, t FROM sym
-    UNION
-    SELECT r.s, e.t FROM r JOIN sym e ON r.t = e.s
-  ) SELECT * FROM r
-),
-comp AS (
-  SELECT doc_id, least(doc_id, coalesce(min(t), doc_id)) AS component
-  FROM documents LEFT JOIN reach ON doc_id = s
-  GROUP BY doc_id
-),
+{_CAND.strip()},
+sym AS MATERIALIZED (SELECT id_a AS s, id_b AS t FROM cand UNION SELECT id_b, id_a FROM cand),
+{_min_prop_comp()},
 sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
 SELECT doc_id, component, cluster_size
 FROM comp JOIN sizes USING (component)
 WHERE cluster_size > 1
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) FROM nonconv
 """,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,10 +470,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: the md5-chunk LSH candidate edges are re-derived in SQL
     (same fragments as ``dedup_lsh_candidates``) and the iterative
-    label propagation is checked against a recursive transitive-closure
-    CTE — component = smallest reachable doc_id, so the fixpoint and
-    the SQL closure must agree exactly (same strategy that already
-    oracle-checks ``dedup_fuzzy_survivors``).
+    label propagation is checked against an unrolled min-label
+    propagation with a convergence sentinel (``_min_prop_comp``) —
+    component = smallest reachable doc_id, so the two fixpoints must
+    agree exactly (same strategy that already oracle-checks
+    ``dedup_fuzzy_survivors``).
     """
     docs = load_table(spark, sf_dir, "documents")
     edges = dd.lsh_candidate_pairs(docs, NUM_HASHES, BANDS, NGRAM, use_md5=True)
@@ -426,31 +492,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_TOKS},
 {_GRAMS},
-sizes AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
-shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
-  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2
-),
-edges AS (
-  SELECT id_a, id_b
-  FROM shared JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-  WHERE CAST(ns AS DOUBLE) / (sa.ng + sb.ng - ns) >= {JACCARD_THRESHOLD}
-),
-sym AS (SELECT id_a AS s, id_b AS t FROM edges UNION SELECT id_b, id_a FROM edges),
-reach AS (
-  WITH RECURSIVE r(s, t) AS (
-    SELECT s, t FROM sym
-    UNION
-    SELECT r.s, e.t FROM r JOIN sym e ON r.t = e.s
-  ) SELECT * FROM r
-),
-comp AS (
-  SELECT doc_id, least(doc_id, coalesce(min(t), doc_id)) AS component
-  FROM documents LEFT JOIN reach ON doc_id = s
-  GROUP BY doc_id
-)
+{_SIGS},
+{_BANDS},
+{_CAND.strip()},
+{_GLIST.strip()},
+{_EDGES_VERIFIED.strip()},
+sym AS MATERIALIZED (SELECT id_a AS s, id_b AS t FROM edges UNION SELECT id_b, id_a FROM edges),
+{_min_prop_comp()}
 SELECT min(doc_id) AS keep_id, count(*) AS cluster_size
 FROM comp GROUP BY component
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) FROM nonconv
 """,
 )
 def q_dedup_fuzzy_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,9 +510,13 @@ def q_dedup_fuzzy_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     LSH candidates -> exact-Jaccard verify (>= 0.5) -> connected
     components -> one surviving (min-id) doc per duplicate cluster.
-    The DuckDB twin re-derives the duplicate clusters with a recursive
-    transitive-closure CTE — the iterative label propagation and the
-    SQL fixpoint must agree exactly.
+    The DuckDB twin re-derives the SAME pipeline candidate-first (LSH
+    cand -> in-row list_intersect verify -> unrolled min-label
+    propagation with a convergence sentinel) — the engine's iterative
+    label propagation and the SQL fixpoint must agree exactly. (The
+    earlier all-pairs-Jaccard oracle coincided only while every
+    near-dup was an exact replica; with genuine 0.5<=j<1 pairs the
+    pipeline's LSH recall <1 makes candidate-first the true twin.)
 
     100 TB shape: candidates come from LSH (never all-pairs); the
     Jaccard verify only scores candidate pairs; components iterate on
@@ -584,9 +640,10 @@ def q_dedup_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFram
 # dedup_fuzzy_survivors, but each cluster keeps its HIGHEST-QUALITY
 # member (the curation practice: min-id keeps an arbitrary doc; a
 # trained-corpus pipeline keeps the best one). The oracle composes the
-# recursive-closure cluster derivation with the quality-score chain
-# shared with catalog/textops (its toks CTE also carries `text`, which
-# the gram chain below tolerates).
+# candidate-first cluster derivation (LSH cand -> list-intersect
+# verify -> unrolled min-label propagation) with the quality-score
+# chain shared with catalog/textops (its toks CTE also carries
+# `text`, which the gram chain below tolerates).
 from mock_map_reduce_spark.catalog import textops as _textops  # noqa: E402
 from mock_map_reduce_spark.operators import text as tx  # noqa: E402
 
@@ -604,29 +661,13 @@ grams AS (
     oracle=f"""
 WITH {_textops._QUALITY_CTES},
 {_GRAMS_FROM_QTOKS},
-sizes AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
-shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
-  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2
-),
-edges AS (
-  SELECT id_a, id_b
-  FROM shared JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-  WHERE CAST(ns AS DOUBLE) / (sa.ng + sb.ng - ns) >= {JACCARD_THRESHOLD}
-),
-sym AS (SELECT id_a AS s, id_b AS t FROM edges UNION SELECT id_b, id_a FROM edges),
-reach AS (
-  WITH RECURSIVE r(s, t) AS (
-    SELECT s, t FROM sym
-    UNION
-    SELECT r.s, e.t FROM r JOIN sym e ON r.t = e.s
-  ) SELECT * FROM r
-),
-comp AS (
-  SELECT doc_id, least(doc_id, coalesce(min(t), doc_id)) AS component
-  FROM documents LEFT JOIN reach ON doc_id = s
-  GROUP BY doc_id
-),
+{_SIGS},
+{_BANDS},
+{_CAND.strip()},
+{_GLIST.strip()},
+{_EDGES_VERIFIED.strip()},
+sym AS MATERIALIZED (SELECT id_a AS s, id_b AS t FROM edges UNION SELECT id_b, id_a FROM edges),
+{_min_prop_comp()},
 q AS (
   SELECT doc_id,
          round(least(mean_word_len / 8.0, 1.0) * 0.25
@@ -644,6 +685,8 @@ ranked AS (
 )
 SELECT doc_id AS keep_id, cluster_size, quality_score AS keep_quality
 FROM ranked WHERE rn = 1
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS DOUBLE) FROM nonconv
 """,
 )
 def q_dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -381,3 +381,42 @@ def test_prefix_filter_prunes_candidates(spark, sf_dir):
         ).collect()
     )
     assert got == exact
+
+
+def test_min_prop_oracle_fragment_converges_and_probes():
+    """The unrolled min-label-propagation oracle fragment (the scalable
+    replacement for the recursive transitive-closure CTE) must (a)
+    reach the true components on a chain — the worst diameter shape —
+    and (b) fire its convergence sentinel LOUDLY when K is too small,
+    never silently under-merge."""
+    import duckdb
+
+    from mock_map_reduce_spark.catalog.dedup import _min_prop_comp
+
+    con = duckdb.connect()
+    # nodes 1..6 in a chain, plus singleton 7: one component {1..6}.
+    con.execute(
+        "CREATE TABLE documents AS SELECT unnest(range(1, 8)) AS doc_id"
+    )
+    chain = "SELECT * FROM (VALUES (1,2),(2,3),(3,4),(4,5),(5,6)) v(id_a, id_b)"
+    sql = (
+        f"WITH edges AS ({chain}),\n"
+        "sym AS MATERIALIZED (SELECT id_a AS s, id_b AS t FROM edges "
+        "UNION SELECT id_b, id_a FROM edges),\n"
+        f"{_min_prop_comp(k=12)}\n"
+        "SELECT component, count(*) AS n FROM comp GROUP BY component "
+        "UNION ALL SELECT -1, -1 FROM nonconv ORDER BY 1"
+    )
+    assert con.execute(sql).fetchall() == [(1, 6), (7, 1)]
+
+    # k=0: l0 (1-hop mins) vs l1 still moving on a 5-edge chain ->
+    # the sentinel row must appear.
+    sql_small = (
+        f"WITH edges AS ({chain}),\n"
+        "sym AS MATERIALIZED (SELECT id_a AS s, id_b AS t FROM edges "
+        "UNION SELECT id_b, id_a FROM edges),\n"
+        f"{_min_prop_comp(k=0)}\n"
+        "SELECT component, count(*) AS n FROM comp GROUP BY component "
+        "UNION ALL SELECT -1, -1 FROM nonconv ORDER BY 1"
+    )
+    assert (-1, -1) in con.execute(sql_small).fetchall()
