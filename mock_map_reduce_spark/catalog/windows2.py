@@ -19,8 +19,8 @@ SELECT o_orderkey,
        ntile(4)       OVER w AS quartile,
        rank()         OVER w AS rnk,
        dense_rank()   OVER w AS drnk,
-       round(percent_rank() OVER w, 6) AS prank,
-       round(cume_dist()    OVER w, 6) AS cdist,
+       percent_rank() OVER w AS prank,
+       cume_dist()    OVER w AS cdist,
        nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
 FROM orders
@@ -37,8 +37,15 @@ def q_window_ranking_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.rank().over(w).cast("long").alias("rnk"),
         F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        # RAW doubles, deliberately un-rounded: both engines derive
+        # these from the same integer rank/count division, so the IEEE
+        # result is bit-identical — while round(x, 6) DIVERGES on exact
+        # mid-tie ratios (sf10's n=2,992,000 partitions make k/n hit
+        # ...25e-7 exactly: Spark rounds the shortest-decimal repr via
+        # BigDecimal.valueOf -> HALF_UP -> up, DuckDB/Python round the
+        # binary value just below the tie -> down; 93 rows diverged).
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
         F.nth_value("o_orderkey", 2).over(wrows).alias("second_key"),
     )
 
