@@ -13,6 +13,7 @@ from pyspark.sql.window import Window
 
 from mock_map_reduce_spark.operators import timeseries as ts
 from mock_map_reduce_spark.registry import query
+from mock_map_reduce_spark.functions.localdf import local_df
 from mock_map_reduce_spark.sources import load_table
 
 _E = "e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events)"
@@ -219,7 +220,10 @@ GROUP BY band
 def q_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi (range-predicate) join against a broadcast bands dim."""
     cust = load_table(spark, sf_dir, "customer")
-    bands = spark.createDataFrame(
+    # local_df: LocalRelation leaf — the list createDataFrame form ran a
+    # 32-task PythonRDD to build this 5-row broadcast dim per scan.
+    bands = local_df(
+        spark,
         [("neg", -10000.0, 0.0), ("low", 0.0, 2500.0), ("mid", 2500.0, 5000.0),
          ("high", 5000.0, 7500.0), ("top", 7500.0, 10000.0)],
         "band string, lo double, hi double",

@@ -16,11 +16,14 @@ BIT-DETERMINISTIC so the whole iteration is oracle-checkable:
     can no longer change the centroid, so Spark and DuckDB agree to
     the last bit.
 
-Scale (100 TB of vectors): per iteration, the k centroids broadcast
-(k x dim doubles — tiny), so assignment rides the corpus scan with no
-shuffle; the update is a groupBy(cell, dim) whose map-side partial
-agg shrinks the exchange to k x dim rows per input partition. Driver
-holds nothing but the loop counter.
+Scale (100 TB of vectors): per iteration, the k centroids travel in
+the task closure (k x dim doubles — tiny), so assignment rides the
+corpus scan with no shuffle (a vectorized Arrow pass — see
+_assign_arrow); the update is a groupBy(cell) over per-dimension
+decimal columns whose map-side partial agg shrinks the exchange to
+k rows x dim columns per input partition. Driver holds the k x dim
+centroid rows between rounds (the Spark-MLlib convention) and
+nothing corpus-sized.
 """
 
 from __future__ import annotations
@@ -28,120 +31,169 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from mock_map_reduce_spark.functions.localdf import local_df
 from mock_map_reduce_spark.functions.materialize import materialize
 from mock_map_reduce_spark.functions.partitioning import spread
-from mock_map_reduce_spark.operators.similarity import as_double_array, cosine
+from mock_map_reduce_spark.operators.similarity import as_double_array
 
 
-def _assign(v: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, e, cell, cos): nearest centroid by cosine, ties -> low cid."""
-    scored = v.crossJoin(F.broadcast(cents)).withColumn(
-        "cos", cosine(F.col("e"), F.col("ce"))
+def _assign_arrow(
+    v: DataFrame, cent_rows: list[tuple[int, list[float]]], with_cos: bool = True
+) -> DataFrame:
+    """(vec_id, e, cell[, cos]): nearest centroid by cosine, ties -> low cid.
+
+    MAP-ONLY (round-10 optimization): the previous formulation
+    crossJoined a broadcast centroid frame and took the per-vector
+    argmax through a row_number window — one full corpus shuffle plus
+    two sorts per assignment pass, with the k·n cosines evaluated by
+    the interpreted HOF fold (~20-40 µs each; measured 74 s of
+    executor CPU for 16k cosines cold, ~0.6 s/pass warm at sf0.1).
+    Centroids are bounded driver state by contract (k×dim doubles —
+    the Lloyd loop collects them every round anyway), so assignment
+    is now a single ``mapInArrow`` pass: NumPy evaluates the SAME
+    IEEE operation sequence vectorized across rows (guide §4.2) and
+    no Exchange exists at all — at 100 TB the pass rides the scan.
+
+    Bit-exactness: the JVM cosine is a sequential left-to-right fold —
+    dot = Σ (eᵢ·cᵢ) accumulated in dim order, norms likewise, then
+    one multiply and one divide. The NumPy kernel performs the
+    identical scalar sequence per row (an explicit Python loop over
+    dims; ufuncs do not fuse multiply-add), so every cosine is the
+    same double. Argmax ties break to the FIRST (= lowest cid, rows
+    sorted by cid) exactly like the window's (cos DESC, cid ASC);
+    NaN cosines (zero vectors) rank above any number in both: Spark
+    orders NaN largest, np.argmax propagates NaN.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    cids = [int(c) for c, _ in cent_rows]
+    cmat = [list(map(float, ce)) for _, ce in cent_rows]
+    out_schema = "vec_id bigint, e array<double>, cell bigint" + (
+        ", cos double" if with_cos else ""
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "e", F.col("cid").alias("cell"), "cos")
-    )
+    if not cent_rows:  # no centroids -> no assignments (empty-pool edge)
+        cols = [
+            F.col("vec_id"),
+            F.col("e"),
+            F.lit(None).cast("bigint").alias("cell"),
+        ] + ([F.lit(None).cast("double").alias("cos")] if with_cos else [])
+        return v.select(*cols).filter(F.lit(False))
+
+    def fn(batches):
+        C = np.asarray(cmat, dtype=np.float64)  # k × d
+        ids = np.asarray(cids, dtype=np.int64)
+        d = C.shape[1]
+        cn = np.zeros(C.shape[0])
+        for i in range(d):  # fold order: acc + x*x, dim ascending
+            cn = cn + C[:, i] * C[:, i]
+        cn = np.sqrt(cn)
+        for batch in batches:
+            tbl = batch if isinstance(batch, pa.RecordBatch) else batch
+            n = tbl.num_rows
+            if n == 0:
+                continue
+            ecol = tbl.column(tbl.schema.get_field_index("e"))
+            flat = np.asarray(ecol.values, dtype=np.float64)
+            offs = np.asarray(ecol.offsets, dtype=np.int64)
+            E = flat[offs[0] : offs[0] + n * d].reshape(n, d)
+            dots = np.zeros((n, C.shape[0]))
+            en = np.zeros(n)
+            for i in range(d):
+                ei = E[:, i]
+                dots = dots + ei[:, None] * C[None, :, i]
+                en = en + ei * ei
+            cos = dots / (np.sqrt(en)[:, None] * cn[None, :])
+            best = np.argmax(cos, axis=1)
+            cols = [
+                tbl.column(tbl.schema.get_field_index("vec_id")),
+                ecol,
+                pa.array(ids[best], type=pa.int64()),
+            ]
+            names = ["vec_id", "e", "cell"]
+            if with_cos:
+                cols.append(pa.array(cos[np.arange(n), best], type=pa.float64()))
+                names.append("cos")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return v.select("vec_id", "e").mapInArrow(fn, out_schema)
 
 
-def _update(assigned: DataFrame) -> DataFrame:
-    """New centroids: exact-decimal per-dimension means of each cell."""
-    dims = assigned.select("cell", F.posexplode("e").alias("dim", "val"))
-    means = dims.groupBy("cell", "dim").agg(
-        (
-            F.sum(F.col("val").cast("decimal(30,15)")).cast("double") / F.count("*")
-        ).alias("m")
+def _update(assigned: DataFrame, dim: int) -> DataFrame:
+    """New centroids: exact-decimal per-dimension means of each cell.
+
+    Round-10 shape: per-dimension aggregate COLUMNS instead of a
+    posexplode to (cell, dim, val) rows — the explode multiplied the
+    pre-partial-agg row count by dim (64×) and needed a second
+    groupBy(cell) + collect_list/array_sort to reassemble the vector.
+    The math is unchanged: per dim, SUM(CAST(val AS DECIMAL(30,15)))
+    (order-independent exact sum) cast to double, divided by the cell
+    count — bit-identical to the previous formulation and the oracle.
+    """
+    # Project the decimal casts BEFORE the aggregate: sum(e[i] cast
+    # decimal) written inline in agg() measured 2.1 s vs 0.9 s for the
+    # projected form at sf0.1 — the extraction+cast runs inside the
+    # aggregate's update path there instead of the codegen'd project.
+    proj = assigned.select(
+        "cell",
+        *[F.col("e")[i].cast("decimal(30,15)").alias(f"__x{i}") for i in range(dim)],
     )
-    return (
-        means.groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
-            ).alias("ce")
-        )
-        .select(F.col("cell").alias("cid"), "ce")
+    sums = proj.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(f"__x{i}").alias(f"__s{i}") for i in range(dim)],
+    )
+    return sums.select(
+        F.col("cell").alias("cid"),
+        F.array(
+            *[(F.col(f"__s{i}").cast("double") / F.col("__n")) for i in range(dim)]
+        ).alias("ce"),
     )
 
 
 def _pin_centroids(cents: DataFrame) -> DataFrame:
     """Collect a (cid, ce) centroid frame (k x dim doubles — bounded)
     and rebuild it as a LocalRelation leaf, so iterative loops carry
-    no lineage between rounds — the Spark-MLlib k-means convention."""
-    rows = [(int(r["cid"]), [float(x) for x in r["ce"]]) for r in cents.collect()]
-    return cents.sparkSession.createDataFrame(
-        rows, "cid bigint, ce array<double>"
+    no lineage between rounds — the Spark-MLlib k-means convention.
+    Round 10: the leaf is a TRUE JVM LocalRelation (functions/localdf)
+    — the old list createDataFrame executed as a 32-task PythonRDD on
+    every broadcast/scan of the pinned frame."""
+    return local_df(
+        cents.sparkSession,
+        _collect_cents(cents),
+        "cid bigint, ce array<double>",
     )
 
 
-# Trained-centroid memo: the Lloyd result is a PURE function of
-# (source files, k, n_iter), so retraining it on every query
-# invocation — bench reps, the oracle sweep, the semdedup siblings
-# when their derived k coincides — is pure waste. A production
-# pipeline trains the coarse quantizer once and reuses the model
-# (this is also how the IVF index in operators/similarity treats its
-# centroids). Entries are plain Python floats (k x dim per entry — a
-# few KB; no DataFrame or session references, so a stopped session
-# cannot poison the memo), FIFO-capped.
-_CENTROID_MEMO: dict[tuple, list[tuple[int, list[float]]]] = {}
-_CENTROID_MEMO_MAX = 32
+def _collect_cents(cents: DataFrame) -> list[tuple[int, list[float]]]:
+    """Driver-side centroid rows, cid-ascending (bounded k×dim)."""
+    return sorted(
+        (int(r["cid"]), [float(x) for x in r["ce"]]) for r in cents.collect()
+    )
 
 
-def _memo_key(
-    src: DataFrame, k: int, n_iter: int, id_col: str, vec_col: str
-) -> tuple | None:
-    """Identity of the training input: its source files PLUS the
-    analyzed logical plan with Catalyst's per-instantiation expression
-    ids stripped — so a filtered/projected view of the same files
-    never collides with the raw table. None (no memoization) for
-    non-file-backed frames, where input equality is unknowable."""
-    import re
-
-    try:
-        files = src.inputFiles()
-        plan = src._jdf.queryExecution().analyzed().toString()
-    except Exception:  # noqa: BLE001
-        return None
-    if not files:
-        return None
-    plan_fp = re.sub(r"#\d+", "", plan)
-    return (tuple(sorted(files)), plan_fp, k, n_iter, id_col, vec_col)
-
-
-def _lloyd_centroids(
-    v: DataFrame, k: int, n_iter: int, memo_key: tuple | None
-) -> DataFrame:
+def _lloyd_rows(
+    v: DataFrame, k: int, n_iter: int
+) -> list[tuple[int, list[float]]]:
     """``n_iter`` Lloyd rounds from the deterministic low-id seeding,
-    returning the final driver-pinned centroid LocalRelation; memoized
-    per ``memo_key`` (see _CENTROID_MEMO). ``v`` is the prepared
-    (vec_id, e) frame."""
-    spark = v.sparkSession
-    if memo_key is not None and memo_key in _CENTROID_MEMO:
-        return spark.createDataFrame(
-            _CENTROID_MEMO[memo_key], "cid bigint, ce array<double>"
+    returning the final centroids as driver rows (k×dim doubles —
+    BOUNDED driver state, the same convention as the BPE merge
+    decision and Spark MLlib's own k-means). Each round is ONE job:
+    the map-only Arrow assignment fused into the per-dim partial-agg
+    update, one k-row exchange, one bounded collect. Values are
+    unchanged from the crossJoin/window formulation (see
+    _assign_arrow), so the oracle is unaffected."""
+    rows = _collect_cents(
+        v.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("ce")
         )
-    cents = v.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
     )
+    if not rows:
+        return rows
+    dim = len(rows[0][1])
     for _ in range(n_iter):
-        # Pin each round's centroids as a driver-side LocalRelation:
-        # k x dim doubles — BOUNDED driver state, the same convention
-        # as the BPE merge decision, and exactly what Spark MLlib's
-        # own k-means does per iteration. A LocalRelation is a LEAF
-        # plan, so rounds never nest lineage and need no
-        # checkpoint/persist machinery; values are unchanged (the
-        # collected rows ARE the deterministic round result), so the
-        # oracle is unaffected.
-        cents = _pin_centroids(_update(_assign(v, cents)))
-    if memo_key is not None:
-        if len(_CENTROID_MEMO) >= _CENTROID_MEMO_MAX:
-            _CENTROID_MEMO.pop(next(iter(_CENTROID_MEMO)))
-        # cents is a LocalRelation — this collect is driver-local
-        _CENTROID_MEMO[memo_key] = [
-            (int(r["cid"]), [float(x) for x in r["ce"]]) for r in cents.collect()
-        ]
-    return cents
+        assigned = _assign_arrow(v, rows, with_cos=False)
+        rows = _collect_cents(_update(assigned, dim))
+    return rows
 
 
 
@@ -181,29 +233,27 @@ def kcenter_init(
     pool = v.filter(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < pool_prefix_lt
     )
-    first = pool.agg(F.min("vec_id").alias("vec_id"))
-    cents = _pin_centroids(
-        pool.join(first, "vec_id")
-        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
-    )
+    # Round-10 shape: the chosen set is driver rows (≤k×dim — the same
+    # bounded-collect convention as before, which pinned per round via
+    # _pin_centroids); each selection round is ONE map-only Arrow
+    # best-cosine pass (_assign_arrow's cos IS max-cosine-to-the-set)
+    # reduced by a single min-struct aggregate — the crossJoin ×
+    # groupBy(vec_id) × pick-join chain per round is gone. Values are
+    # unchanged: max-cosine and the (best, vec_id) argmin are computed
+    # from the identical IEEE doubles and the identical tie order.
+    first = pool.agg(F.min(F.struct("vec_id", "e")).alias("s")).collect()[0]["s"]
+    if first is None:
+        return local_df(emb.sparkSession, [], "cid bigint, ce array<double>")
+    rows = [(int(first["vec_id"]), [float(x) for x in first["e"]])]
     for _ in range(k - 1):
-        best = (
-            pool.crossJoin(F.broadcast(cents))
-            .withColumn("cos", cosine(F.col("e"), F.col("ce")))
-            .groupBy("vec_id")
-            .agg(F.max("cos").alias("best"))
-        )
-        pick = (
-            best.agg(F.min(F.struct("best", "vec_id")).alias("s"))
-            .select(F.col("s.vec_id").alias("vec_id"))
-        )
-        nxt = pool.join(pick, "vec_id").select(
-            F.col("vec_id").alias("cid"), F.col("e").alias("ce")
-        )
-        # driver-pin per round, same bounded-state rationale as
-        # kmeans_lloyd below (≤k centroid rows); values unchanged.
-        cents = _pin_centroids(cents.unionByName(nxt))
-    return cents
+        scored = _assign_arrow(pool, rows)
+        s = scored.agg(
+            F.min(F.struct(F.col("cos").alias("best"), F.col("vec_id"), F.col("e"))).alias("s")
+        ).collect()[0]["s"]
+        if s is None:
+            break
+        rows.append((int(s["vec_id"]), [float(x) for x in s["e"]]))
+    return local_df(emb.sparkSession, rows, "cid bigint, ce array<double>")
 
 
 def kmeans_lloyd(
@@ -227,17 +277,16 @@ def kmeans_lloyd(
         emb, heavy=True
     ).select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("e"))
     if init is not None:
-        cents = init
-        for _ in range(n_iter):
-            # per-round driver pin — see _lloyd_centroids; caller-
-            # supplied seeds are not memoizable (their identity is
-            # unknowable), so this path always trains live.
-            cents = _pin_centroids(_update(_assign(v, cents)))
+        rows = _collect_cents(init)
+        if rows:
+            dim = len(rows[0][1])
+            for _ in range(n_iter):
+                rows = _collect_cents(
+                    _update(_assign_arrow(v, rows, with_cos=False), dim)
+                )
     else:
-        cents = _lloyd_centroids(
-            v, k, n_iter, _memo_key(emb, k, n_iter, id_col, vec_col)
-        )
-    final = _assign(v, cents)
+        rows = _lloyd_rows(v, k, n_iter)
+    final = _assign_arrow(v, rows)
     return final.select(
         F.col("vec_id").alias(id_col), "cell", F.round("cos", 6).alias("cosine")
     )
@@ -280,16 +329,13 @@ def semdedup(
     v = spread(
         emb, heavy=True
     ).select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("e"))
-    cents = _lloyd_centroids(
-        v, k, n_iter, _memo_key(emb, k, n_iter, id_col, vec_col)
-    )  # memoized Lloyd training — see _CENTROID_MEMO
-    # Pin the final assignment: it feeds BOTH sides of the pair join
-    # and the final kept-flag join, so without this the k-broadcast
-    # cosine argmax over the whole corpus re-executes three times
-    # (cut bench time of the catalog entry ~35%). Values are already
-    # deterministic; at real scale this is persist(DISK)/a checkpoint
-    # to reliable storage rather than an in-memory pin.
-    assigned = materialize(_assign(v, cents))
+    rows = _lloyd_rows(v, k, n_iter)
+    # Pin the final assignment: it feeds BOTH the pruning pool and the
+    # final kept-flag join, so without this the corpus assignment pass
+    # re-executes per consumer. Values are already deterministic; at
+    # real scale this is persist(DISK)/a checkpoint to reliable
+    # storage rather than an in-memory pin.
+    assigned = materialize(_assign_arrow(v, rows, with_cos=False))
     if max_cluster_size is not None:
         wc = Window.partitionBy("cell").orderBy("vec_id")
         flagged = assigned.withColumn(
@@ -299,15 +345,68 @@ def semdedup(
     else:
         flagged = assigned.withColumn("examined", F.lit(1))
     pool = flagged.filter(F.col("examined") == 1)
-    a = pool.select("cell", F.col("vec_id").alias("id_a"), F.col("e").alias("va"))
-    b = pool.select("cell", F.col("vec_id").alias("id_b"), F.col("e").alias("vb"))
-    dominated = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-    )
+
+    # Within-cluster prune (round-10 optimization): the previous
+    # formulation self-joined the pool on the cluster id and evaluated
+    # one interpreted HOF cosine per candidate pair — with k clusters
+    # the join had only k distinct keys, so AQE's size-based
+    # coalescing ran ALL Σ n_c²/2 pair evaluations in ONE task
+    # (measured: 4.5-9.7 s single-task at sf0.1 for ~250k pairs,
+    # ~20-40 µs/pair). Now each cluster's pairs are evaluated inside
+    # one Arrow group task by the same vectorized dim-ordered NumPy
+    # kernel as _assign_arrow (bit-identical doubles; see there), and
+    # the group emits only its dominated ids. Per-group memory is
+    # bounded: the b-side is processed in column blocks, and
+    # ``max_cluster_size`` already caps the group itself for the
+    # catalog entries. Same result set: id_b is dominated iff SOME
+    # lower-id same-cell vector has cosine >= threshold.
+    thr = float(threshold)
+
+    def _dominated_ids(key, tbl):
+        import numpy as np
+        import pyarrow as pa
+
+        n = tbl.num_rows
+        if n < 2:
+            return pa.table({"vec_id": pa.array([], type=pa.int64())})
+        ecol = tbl.column(tbl.schema.get_field_index("e"))
+        if isinstance(ecol, pa.ChunkedArray):
+            ecol = ecol.combine_chunks()
+        ids = np.asarray(
+            tbl.column(tbl.schema.get_field_index("vec_id")), dtype=np.int64
+        )
+        offs = np.asarray(ecol.offsets, dtype=np.int64)
+        d = int(offs[1] - offs[0])
+        flat = np.asarray(ecol.values, dtype=np.float64)
+        E = flat[offs[0] : offs[0] + n * d].reshape(n, d)
+        order = np.argsort(ids, kind="stable")
+        ids, E = ids[order], E[order]
+        en = np.zeros(n)
+        for i in range(d):
+            en = en + E[:, i] * E[:, i]
+        nrm = np.sqrt(en)
+        dom = np.zeros(n, dtype=bool)
+        blk = 1024
+        for b0 in range(1, n, blk):
+            b1 = min(b0 + blk, n)
+            dots = np.zeros((b1, b1 - b0))
+            for i in range(d):
+                dots = dots + E[:b1, i, None] * E[None, b0:b1, i]
+            cos = dots / (nrm[:b1, None] * nrm[None, b0:b1])
+            for j in range(b1 - b0):
+                a_end = b0 + j  # strictly lower ids = positions < a_end
+                if bool(np.any(cos[:a_end, j] >= thr)):
+                    dom[b0 + j] = True
+        return pa.table({"vec_id": pa.array(ids[dom], type=pa.int64())})
+
+    grouped = pool.select("cell", "vec_id", "e").groupBy("cell")
+    dominated = grouped.applyInArrow(_dominated_ids, "vec_id bigint")
+    # The dominated-id table is bounded by the examined pool (≤ k ×
+    # max_cluster_size rows of one bigint when capped) — broadcast it
+    # so the kept-flag join never shuffles the corpus-scale flagged
+    # side. Uncapped callers keep the planner's choice.
+    if max_cluster_size is not None:
+        dominated = F.broadcast(dominated)
     return (
         flagged.join(
             dominated.withColumn("__dup", F.lit(1)), "vec_id", "left"
@@ -477,9 +576,9 @@ def power_iteration_pc1(
         nm = math.sqrt(float(sum(iround(float(x) * float(x)) for x in s.values())))
         vv = {i: round12(float(x) / nm) for i, x in s.items()}
     spark = vecs.sparkSession
-    return spark.createDataFrame(
-        sorted(vv.items()), "dim_idx int, pc1 double"
-    )
+    # local_df: a LocalRelation leaf — the list createDataFrame ran a
+    # 32-task PythonRDD every time this constant-size result was forced.
+    return local_df(spark, sorted(vv.items()), "dim_idx int, pc1 double")
 
 
 def train_hinge_classifier(
@@ -531,4 +630,4 @@ def train_hinge_classifier(
     ).first()
     rows = [(f"w_{i}", gw[i]) for i in range(n_features)]
     rows += [("__n_train", int(counts["n"])), ("__n_correct", int(counts["c"] or 0))]
-    return spark.createDataFrame(rows, "name string, value bigint")
+    return local_df(spark, rows, "name string, value bigint")

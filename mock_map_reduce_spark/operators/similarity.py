@@ -253,21 +253,26 @@ def ivf_assign(
     it with cell-partitioned storage (tests/test_ivf_storage.py) so
     probes become partition-pruned scans.
     """
-    c = centroids.select(
-        F.col(id_col).alias(centroid_id_col), as_double_array(vec_col).alias("cent")
+    # Round-10 shape: the centroid set is bounded by contract (it was
+    # already broadcast), so assignment is the shared map-only Arrow
+    # argmax kernel (operators/clustering._assign_arrow) instead of a
+    # crossJoin × row_number window — no Exchange, no per-candidate
+    # interpreted HOF cosine, bit-identical values and tie order.
+    from mock_map_reduce_spark.operators.clustering import (  # deferred: circular
+        _assign_arrow,
+        _collect_cents,
     )
-    v = spread(vectors.select(F.col(id_col), as_double_array(vec_col).alias("vec")), heavy=True)
-    scored = v.crossJoin(F.broadcast(c)).select(
-        id_col,
-        "vec",
-        centroid_id_col,
-        cosine(F.col("vec"), F.col("cent")).alias("__cos"),
+
+    rows = _collect_cents(
+        centroids.select(
+            F.col(id_col).alias("cid"), as_double_array(vec_col).alias("ce")
+        )
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc(centroid_id_col))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col(centroid_id_col).alias("cell"), "vec")
+    v = spread(
+        vectors.select(F.col(id_col), as_double_array(vec_col).alias("vec")), heavy=True
+    ).select(F.col(id_col).alias("vec_id"), F.col("vec").alias("e"))
+    return _assign_arrow(v, rows, with_cos=False).select(
+        F.col("vec_id").alias(id_col), "cell", F.col("e").alias("vec")
     )
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from mock_map_reduce_spark.functions.localdf import local_df
 from mock_map_reduce_spark.functions.materialize import materialize, release
 from mock_map_reduce_spark.functions.partitioning import spread
 
@@ -562,10 +563,23 @@ def bpe_train(
         F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
     ))
 
+    # Round-10 loop shape: the per-round rewrite STAYS A COLUMN
+    # EXPRESSION chained onto the pinned round-0 vocabulary instead of
+    # being checkpointed every round — exactly how bpe_segment_vocab
+    # applies a learned merge list. Each round's pair-count job then
+    # re-evaluates the (rank-1) codegen'd replaces over the pinned
+    # vocab (vocabulary-sized work, ≪ the checkpoint write+read+job it
+    # replaces: the old loop ran 2 jobs/round, this runs 1). Expression
+    # depth is re-pinned every _RECHAIN_EVERY rounds so a large
+    # n_merges cannot grow the plan unboundedly. Merge decisions are
+    # identical: the same replaces produce the same strings whether
+    # applied lazily or from a checkpoint.
+    _RECHAIN_EVERY = 16
+    seq_expr = F.col("seq")
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        arr = F.split("seq", " ")
-        pairs = seqs.select(
+        cur = seqs.select("freq", seq_expr.alias("seq"))
+        pairs = cur.select(
             "freq",
             F.explode(
                 F.expr(
@@ -574,7 +588,6 @@ def bpe_train(
                 )
             ).alias("pair"),
         )
-        _ = arr  # arr inlined in the expr above; kept for readability
         top = (
             pairs.groupBy("pair")
             .agg(F.sum("freq").alias("c"))
@@ -590,22 +603,25 @@ def bpe_train(
         padded_pair, padded_token = f" {pair} ", f" {token} "
         applied = F.replace(
             F.replace(
-                F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                F.concat(F.lit(" "), seq_expr, F.lit(" ")),
                 F.lit(padded_pair),
                 F.lit(padded_token),
             ),
             F.lit(padded_pair),
             F.lit(padded_token),
         )
-        seqs = materialize(
-            seqs.select("freq", F.trim(applied).alias("seq")),
-            cut_lineage=True,
-            supersedes=seqs,  # previous round's vocab pin: last read above
-        )
+        seq_expr = F.trim(applied)
+        if rank % _RECHAIN_EVERY == 0:
+            seqs = materialize(
+                seqs.select("freq", seq_expr.alias("seq")),
+                cut_lineage=True,
+                supersedes=seqs,
+            )
+            seq_expr = F.col("seq")
 
-    release(seqs)  # merges are driver-side; the final vocab pin is dead
-    return spark.createDataFrame(
-        merges, "merge_rank int, pair string, token string, c bigint"
+    release(seqs)  # merges are driver-side; the vocab pin is dead
+    return local_df(
+        spark, merges, "merge_rank int, pair string, token string, c bigint"
     )
 
 

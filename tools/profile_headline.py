@@ -54,6 +54,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file:{EVDIR}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     sc = spark.sparkContext
@@ -93,7 +95,14 @@ def main() -> None:
     spark.stop()
 
     # ---- parse the event log ----
-    logs = [os.path.join(EVDIR, f) for f in os.listdir(EVDIR) if not f.startswith(".")]
+    # Spark 4 rolling event logs are DIRECTORIES (eventlog_v2_*) of
+    # events_* part files; plain logs are single files. Walk both.
+    logs: list[str] = []
+    for root, _dirs, files in os.walk(EVDIR):
+        for f in files:
+            if f.startswith(".") or f.startswith("appstatus_"):
+                continue
+            logs.append(os.path.join(root, f))
     job_of_desc: dict[int, str] = {}
     stages_of_job: dict[int, list[int]] = {}
     stage_rows: dict[int, dict] = {}
