@@ -807,10 +807,19 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "d")
         .repartition("src")
     )
-    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
-    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
-        F.col("src").alias("node"),
-        F.expr(f"{_PR_ONE}L div n_nodes").alias("r"),
+    # Round-10: node count and the initial rank vector both derive
+    # from the PIN. Previously n_nodes was an unpinned aggregate over
+    # the scan→self-join→distinct lineage, crossJoin-broadcast into
+    # the init and every iteration — so the full pre-pin lineage
+    # re-executed three times per query (once per broadcast build)
+    # even though edges_deg was materialized. n is a bounded driver
+    # scalar (the kmeans/BPE convention); the division results are the
+    # same integers with n inlined as a literal.
+    n = edges_deg.select("src").distinct().count()
+    ranks = (
+        edges_deg.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.expr(f"{_PR_ONE}L div {n}L").alias("r"))
     )
     for _ in range(2):
         contrib = (
@@ -821,9 +830,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         sums = contrib.groupBy("node").agg(F.sum("contrib").alias("s"))
-        ranks = sums.crossJoin(F.broadcast(n_nodes)).select(
+        ranks = sums.select(
             "node",
-            F.expr(f"{_PR_TELEPORT}L div n_nodes + (85 * s) div 100").alias("r"),
+            F.expr(f"{_PR_TELEPORT}L div {n}L + (85 * s) div 100").alias("r"),
         )
     return (
         ranks.orderBy(F.desc("r"), F.asc("node"))

@@ -174,8 +174,14 @@ def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked. Production widens 256 -> 2^20 by taking more
     nibbles; the plan is unchanged.
     """
+    from mock_map_reduce_spark.functions.partitioning import spread
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # heavy=True: 3 md5 evals per token is exactly the per-row-heavy
+    # regime the adaptive spread exists for (measured 1.20 s -> 0.77 s
+    # at sf0.1, where the corpus arrives as one split); a no-op at
+    # 100 TB where splits already provide the parallelism.
+    toks = spread(docs.select("doc_id", "text"), heavy=True).select(
         "doc_id",
         F.explode(
             F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != F.lit(""))

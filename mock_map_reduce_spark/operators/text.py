@@ -685,7 +685,7 @@ def bigram_logprob(
     falls back to a sort-merge join on (w1, w2); the plan shape
     downstream is unchanged.
     """
-    t = spread(docs.select(id_col, text_col)).select(
+    t = spread(docs.select(id_col, text_col), heavy=True).select(
         F.col(id_col), _word_tokens(text_col).alias("w")
     )
     # sequence(1, size-1) DESCENDS when size < 2 — filter first.
@@ -702,8 +702,15 @@ def bigram_logprob(
         )
         .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
-    uni = b.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     big = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # Context totals derive from the MODEL, not the corpus: c(w1·) is
+    # exactly Σ_w2 c(w1,w2), so aggregating the distinct-bigram table
+    # (model-scale) replaces a second corpus-scale tokenize+explode
+    # pass — same exact integers, one fewer full pass (guide §1.2:
+    # don't compute what another stage already holds). heavy=True on
+    # the tokenize spread: three corpus passes of per-row
+    # explode/aggregate work ran single-split at bench scale.
+    uni = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = t.select(F.explode("w").alias("tok")).agg(
         F.countDistinct("tok").alias("vocab")
     )

@@ -44,6 +44,9 @@ TABLES = (
 BROADCAST_SAFE = frozenset({"region", "nation", "supplier", "part"})
 
 
+_CONFS_ENSURED: set[int] = set()
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Make ANY session (including a vanilla driver-built one) able to
     read the testdata and produce deterministic timestamps.
@@ -55,9 +58,42 @@ def ensure_session_confs(spark: SparkSession) -> None:
       rather than only at session-build time in ``session.get_spark``.
     * Pin the session time zone to UTC so timestamp formatting/
       extraction does not depend on the host JVM's zone.
+
+    Set once per live session object: each conf.set is a py4j round
+    trip, and load_table runs per table per query (register_views: 10
+    tables). Nothing in the engine unsets these two confs, so the
+    once-guard is safe; a NEW session (new id) re-ensures.
     """
+    key = id(spark)
+    if key in _CONFS_ENSURED:
+        return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _CONFS_ENSURED.add(key)
+
+
+# Parquet SCHEMA cache (metadata, not results — the engine's stand-in
+# for a catalog/metastore, which is what makes production scans skip
+# footer inference). spark.read.parquet() runs a schema-inference JOB
+# per call: ~40-70 ms × up to 10 tables per query invocation
+# (register_views), on every bench rep. Keyed by (path, size, mtime)
+# so a regenerated file re-infers; stores the DDL string only —
+# every query still computes its RESULT from the parquet bytes.
+_SCHEMA_CACHE: dict = {}
+
+
+def _table_schema(spark: SparkSession, path: str):
+    """StructType of ``path``, cached by (path, size, mtime)."""
+    import os
+
+    try:
+        st = os.stat(path.removeprefix("file:"))
+        key = (path, st.st_size, st.st_mtime)
+    except OSError:
+        return None  # non-local path: let Spark infer
+    if key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return _SCHEMA_CACHE[key]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -74,7 +110,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _table_schema(spark, path)
+    if schema is not None:
+        # Explicit schema skips the per-call footer-inference job; the
+        # cached schema IS the inferred one, so plans are unchanged.
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
     if name == "events":
         # Normalize ts to a real UTC TimestampType whatever the file
         # encodes — the generator has shipped BOTH of these:

@@ -68,13 +68,35 @@ def run_until_count(
         )
         try:
             deadline = time.time() + timeout_s
-            while spark.table(name).count() < target_rows:
+            # Poll the query's OWN progress counters (driver-side
+            # metadata, no Spark job) instead of count()-ing the
+            # memory sink: each count() poll was a full 32-task job,
+            # ~15-20 of them per run. numOutputRows is the sink-side
+            # (post-filter) row count per micro-batch, summed over
+            # recentProgress (default retention 100 batches >> the
+            # ~11 batches a bounded drain produces).
+            while True:
+                done = sum(
+                    max(0, int(p.get("sink", {}).get("numOutputRows", 0) or 0))
+                    for p in (q.recentProgress or [])
+                )
+                if done >= target_rows:
+                    break
                 if time.time() > deadline:
                     raise TimeoutError(
                         f"rate stream {name!r} did not reach {target_rows} rows "
                         f"in {timeout_s}s"
                     )
-                time.sleep(0.1)
+                time.sleep(0.02)
+            # One synchronizing count: progress is reported after the
+            # sink commit, so the rows are visible by now — this is a
+            # cheap memory-table scan, kept as the explicit contract
+            # check that the SINK (not just the counters) holds the
+            # target.
+            if spark.table(name).count() < target_rows:
+                raise AssertionError(
+                    f"rate stream {name!r}: sink rows < reported progress"
+                )
         finally:
             q.stop()
     finally:

@@ -41,11 +41,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TIMESTAMP(NANOS) columns on a vanilla session; set the runtime
     # confs here so a driver-built session works too.
     ensure_session_confs(spark)
-    # Probe the footer (batch read is lazy — no data scan) so the
+    # Probe the footer (via the cached table-schema lookup) so the
     # stream schema matches the file's actual ts encoding; declaring
     # `long` against a micros file would silently reinterpret
     # microseconds as nanoseconds and collapse every event into 1970.
-    probed = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType.simpleString()
+    from ..sources.tables import _table_schema
+
+    path = f"{sf_dir}/events.parquet"
+    sch = _table_schema(spark, path)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+    probed = sch["ts"].dataType.simpleString()
     # The file stream source requires a directory basePath; select the
     # events file out of the shared sf_dir with a glob filter.
     raw = (
@@ -135,6 +141,16 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> No
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(os.cpu_count() or 8))
+    # COMPLETE-mode runs don't need the trailing no-data micro-batch:
+    # every batch re-emits the full state, so the extra batch only
+    # re-commits identical state store contents (one full batch of
+    # overhead per stream). APPEND/UPDATE-mode runs KEEP it — the
+    # no-data batch is what advances the watermark and flushes final
+    # windows; dropping it there would lose result rows.
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nodata = spark.conf.get(nodata_key, None)
+    if mode == "complete":
+        spark.conf.set(nodata_key, "false")
     try:
         q = (
             stream_df.writeStream.outputMode(mode)
@@ -148,6 +164,11 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> No
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if mode == "complete":
+            if prev_nodata is None:
+                spark.conf.unset(nodata_key)
+            else:
+                spark.conf.set(nodata_key, prev_nodata)
 
 
 def dedup_stream(
