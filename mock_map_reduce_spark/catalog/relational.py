@@ -805,7 +805,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_deg = materialize(
         edges.join(deg, "src")
         .select("src", "dst", "d")
-        .repartition("src")
+        .repartition("src"),
+        eager=False,  # the n count below is the forcing action
     )
     # Round-10: node count and the initial rank vector both derive
     # from the PIN. Previously n_nodes was an unpinned aggregate over

@@ -779,7 +779,7 @@ def q_stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.repartitionByRange(n_parts, "v")
         .withColumn("__pid", F.spark_partition_id())
     )
-    d = materialize(d)  # pin range boundaries: sum and window ONE materialization
+    d = materialize(d, eager=False)  # pinned by the sums collect below
     sums = {
         r["__pid"]: (r["s1"] or 0, r["s2"] or 0)
         for r in d.groupBy("__pid")

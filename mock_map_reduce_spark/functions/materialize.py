@@ -53,7 +53,10 @@ def release(df: DataFrame) -> None:
 
 
 def materialize(
-    df: DataFrame, cut_lineage: bool = False, supersedes: DataFrame | None = None
+    df: DataFrame,
+    cut_lineage: bool = False,
+    supersedes: DataFrame | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Pin ``df``'s result so downstream consumers reuse ONE computation,
     without sacrificing fault tolerance (see module docstring).
@@ -75,14 +78,23 @@ def materialize(
     round's pin in an iterative loop): it is released AFTER the new
     pin is fully computed — both pin paths are eager, so the old
     blocks are never needed again by the time release runs.
+
+    ``eager=False`` (persist path only; round-10): skip the forcing
+    count() — the FIRST consumer's action computes and populates the
+    pin, later consumers reuse it. Correct whenever the first consumer
+    runs before any competing re-computation (all call sites here are
+    single-threaded query builders) and nothing scoped (a temporarily
+    raised conf) must be captured at pin time; it saves one full job
+    per pin. Sites that force execution inside a scoped-conf window
+    (the recursive CTE) or release a superseded pin keep eager=True.
     """
-    out = _materialize(df, cut_lineage)
+    out = _materialize(df, cut_lineage, eager or supersedes is not None)
     if supersedes is not None:
         release(supersedes)
     return out
 
 
-def _materialize(df: DataFrame, cut_lineage: bool) -> DataFrame:
+def _materialize(df: DataFrame, cut_lineage: bool, eager: bool = True) -> DataFrame:
     sc = df.sparkSession.sparkContext
     if cut_lineage:
         if sc.getCheckpointDir() is None and sc.master.startswith("local"):
@@ -104,5 +116,6 @@ def _materialize(df: DataFrame, cut_lineage: bool) -> DataFrame:
         # through to the lineage-keeping persist — slower per round
         # but never silently unrecoverable.
     df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
+    if eager:
+        df.count()
     return df

@@ -335,7 +335,7 @@ def semdedup(
     # re-executes per consumer. Values are already deterministic; at
     # real scale this is persist(DISK)/a checkpoint to reliable
     # storage rather than an in-memory pin.
-    assigned = materialize(_assign_arrow(v, rows, with_cos=False))
+    assigned = materialize(_assign_arrow(v, rows, with_cos=False), eager=False)
     if max_cluster_size is not None:
         wc = Window.partitionBy("cell").orderBy("vec_id")
         flagged = assigned.withColumn(

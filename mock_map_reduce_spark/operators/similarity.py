@@ -454,25 +454,66 @@ def pq_codes(
         raise ValueError("dim must divide evenly into m subspaces")
     sub = dim // m
     v = spread(vectors.select(F.col(id_col), as_double_array(vec_col).alias("e")), heavy=True)
-    slices = F.array(*[F.slice(F.col("e"), s * sub + 1, sub) for s in range(m)])
-    subs = v.select(F.col(id_col), F.posexplode(slices).alias("subspace", "sv"))
-    cb = (
-        v.filter(F.col(id_col) < k)
-        .select(F.col(id_col).alias("code_id"), F.posexplode(slices).alias("subspace", "cv"))
+    # Round-10: per-subspace argmin is the same map-only Arrow kernel
+    # shape as the k-means assignment (operators/clustering
+    # _assign_arrow) — the previous posexplode (m× rows) × broadcast
+    # codebook join × row_number window shuffled corpus×m rows and
+    # evaluated every sqdist through the interpreted HOF fold. The
+    # NumPy kernel runs the identical IEEE sequence (dim-order
+    # (x-y)*(x-y) accumulation per subspace), argmin ties to the FIRST
+    # (= lowest code id, codebook rows code-ascending) exactly like
+    # (d ASC, code_id ASC). Codebook = the id<k seed rows (bounded,
+    # k×dim driver rows — collected once, the same contract the
+    # broadcast already implied).
+    cb_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in v.filter(F.col(id_col) < k).select(id_col, "e").collect()
     )
-    scored = subs.join(F.broadcast(cb), "subspace").select(
-        id_col, "subspace", "code_id", sqdist(F.col("sv"), F.col("cv")).alias("d")
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        C = np.asarray([ce for _, ce in cb_rows], dtype=np.float64)  # k × dim
+        code_ids = np.asarray([c for c, _ in cb_rows], dtype=np.int64)
+        for tbl in batches:
+            n = tbl.num_rows
+            if n == 0:
+                continue
+            ecol = tbl.column(tbl.schema.get_field_index("e"))
+            flat = np.asarray(ecol.values, dtype=np.float64)
+            offs = np.asarray(ecol.offsets, dtype=np.int64)
+            E = flat[offs[0] : offs[0] + n * dim].reshape(n, dim)
+            idc = tbl.column(tbl.schema.get_field_index(id_col))
+            out_id, out_s, out_code, out_d = [], [], [], []
+            for s in range(m):
+                dists = np.zeros((n, C.shape[0]))
+                for i in range(s * sub, (s + 1) * sub):
+                    diff = E[:, i, None] - C[None, :, i]
+                    dists = dists + diff * diff
+                best = np.argmin(dists, axis=1)
+                out_id.append(idc)
+                out_s.append(np.full(n, s, dtype=np.int32))
+                out_code.append(code_ids[best])
+                out_d.append(dists[np.arange(n), best])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.concat_arrays([pa.array(c) if not isinstance(c, pa.Array) else c for c in out_id]),
+                    pa.array(np.concatenate(out_s), type=pa.int32()),
+                    pa.array(np.concatenate(out_code), type=pa.int64()),
+                    pa.array(np.concatenate(out_d), type=pa.float64()),
+                ],
+                names=[id_col, "subspace", "code", "d"],
+            )
+
+    coded = v.select(id_col, "e").mapInArrow(
+        fn, f"{id_col} bigint, subspace int, code bigint, d double"
     )
-    w = Window.partitionBy(id_col, "subspace").orderBy(F.asc("d"), F.asc("code_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col(id_col),
-            F.col("subspace"),
-            F.col("code_id").alias("code"),
-            F.round("d", 6).alias("sqdist"),
-        )
+    return coded.select(
+        F.col(id_col),
+        F.col("subspace"),
+        F.col("code"),
+        F.round("d", 6).alias("sqdist"),
     )
 
 

@@ -335,8 +335,12 @@ def test_runtime_bloom_filter_prunes_fact_fact_join(spark, sf_dir):
 
 
 def test_feature_hashing_single_exchange(q):
-    # md5 feature/sign are map-side; only the (doc, feat) agg shuffles
-    assert count_exchanges(q("text_feature_hashing")) == 1
+    # md5 feature/sign are map-side; only the (doc, feat) agg shuffles —
+    # plus, at bench scale ONLY, the adaptive under-parallelism
+    # repartition (spread heavy=True, round-10: 3 md5/token on a
+    # one-split corpus ran single-task; the repartition is a no-op at
+    # production scale where input splits provide the parallelism).
+    assert count_exchanges(q("text_feature_hashing")) <= 2
 
 
 def test_bm25_stats_row_is_only_wide_exchange(q):
