@@ -34,14 +34,27 @@ def local_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
     """
     try:
         import pandas as pd
+        from pyspark.sql.types import StructType
 
-        names = [f.split()[0] for f in schema.split(",")]
+        # Parse the DDL properly (JVM-side, one call) instead of naive
+        # comma-splitting, which broke on parameterized types —
+        # decimal(10,2), map<string,int> — and silently fell back to
+        # the slow PythonRDD path (round-10 ADVICE).
+        struct = StructType.fromDDL(schema)
         pdf = pd.DataFrame(
-            {n: [r[i] for r in rows] for i, n in enumerate(names)},
+            {f.name: [r[i] for r in rows] for i, f in enumerate(struct.fields)},
             # object dtype keeps ints exact (no silent float64 upcast
             # of an int64 column when empty / mixed with None).
             dtype=object,
         )
-        return spark.createDataFrame(pdf, schema=schema)
+        return spark.createDataFrame(pdf, schema=struct)
     except Exception:  # noqa: BLE001 — fall back to the slow-but-sure path
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "local_df: Arrow LocalRelation path failed for schema %r; "
+            "falling back to the PythonRDD createDataFrame path",
+            schema,
+            exc_info=True,
+        )
         return spark.createDataFrame(rows, schema)

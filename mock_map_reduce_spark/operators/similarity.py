@@ -469,6 +469,20 @@ def pq_codes(
         (int(r[0]), [float(x) for x in r[1]])
         for r in v.filter(F.col(id_col) < k).select(id_col, "e").collect()
     )
+    if not cb_rows:
+        # Empty codebook (no rows with id < k): the old broadcast-join
+        # formulation returned an empty frame; np.argmin over a
+        # zero-width array would instead raise on executors — mirror
+        # _assign_arrow's empty-centroid guard (round-10 ADVICE).
+        return (
+            v.select(
+                F.col(id_col),
+                F.lit(None).cast("int").alias("subspace"),
+                F.lit(None).cast("bigint").alias("code"),
+                F.lit(None).cast("double").alias("sqdist"),
+            )
+            .filter(F.lit(False))
+        )
 
     def fn(batches):
         import numpy as np
@@ -483,6 +497,15 @@ def pq_codes(
             ecol = tbl.column(tbl.schema.get_field_index("e"))
             flat = np.asarray(ecol.values, dtype=np.float64)
             offs = np.asarray(ecol.offsets, dtype=np.int64)
+            # Dense-layout guard: raise on ragged/null rows instead of
+            # silently mis-coding every later vector (round-10 VERDICT
+            # hardening item).
+            if ecol.null_count or not np.all(np.diff(offs) == dim):
+                raise ValueError(
+                    "pq_codes kernel requires dense fixed-dim "
+                    f"null-free embedding lists (dim {dim}); got "
+                    "ragged or null rows"
+                )
             E = flat[offs[0] : offs[0] + n * dim].reshape(n, dim)
             idc = tbl.column(tbl.schema.get_field_index(id_col))
             out_id, out_s, out_code, out_d = [], [], [], []

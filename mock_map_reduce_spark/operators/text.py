@@ -551,8 +551,13 @@ def bpe_train(
     grow with n_merges.
     """
     spark = docs_in.sparkSession
+    # spread(heavy=True): the tokenize+explode feeding the word-freq
+    # groupBy is per-row-heavy (regex split per doc) and the bench
+    # corpus arrives as ONE split — round-11 profiling showed this
+    # stage running 2.2 s on a single task. No-op at 100 TB where file
+    # splits provide parallelism (same policy as text_feature_hashing).
     wf = (
-        spread(docs_in.select(text_col))
+        spread(docs_in.select(text_col), heavy=True)
         .select(F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")

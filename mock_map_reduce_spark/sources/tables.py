@@ -44,7 +44,15 @@ TABLES = (
 BROADCAST_SAFE = frozenset({"region", "nation", "supplier", "part"})
 
 
-_CONFS_ENSURED: set[int] = set()
+# WeakSet, not a set of id()s: CPython reuses addresses after GC, so
+# an id-keyed guard could mistake a NEW session allocated at a freed
+# session's address for an already-ensured one and silently skip the
+# confs (round-10 ADVICE). Weak references track the live object
+# itself and drop out when it is collected — collision-free and
+# leak-free.
+import weakref
+
+_CONFS_ENSURED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def ensure_session_confs(spark: SparkSession) -> None:
@@ -62,14 +70,13 @@ def ensure_session_confs(spark: SparkSession) -> None:
     Set once per live session object: each conf.set is a py4j round
     trip, and load_table runs per table per query (register_views: 10
     tables). Nothing in the engine unsets these two confs, so the
-    once-guard is safe; a NEW session (new id) re-ensures.
+    once-guard is safe; a NEW session re-ensures.
     """
-    key = id(spark)
-    if key in _CONFS_ENSURED:
+    if spark in _CONFS_ENSURED:
         return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    _CONFS_ENSURED.add(key)
+    _CONFS_ENSURED.add(spark)
 
 
 # Parquet SCHEMA cache (metadata, not results — the engine's stand-in
@@ -88,7 +95,11 @@ def _table_schema(spark: SparkSession, path: str):
 
     try:
         st = os.stat(path.removeprefix("file:"))
-        key = (path, st.st_size, st.st_mtime)
+        # st_mtime_ns, not st_mtime: on filesystems with coarse mtime
+        # granularity a same-size regeneration within the same second
+        # would serve a stale schema (round-10 ADVICE). Nanosecond
+        # resolution makes that window as small as the OS can see.
+        key = (path, st.st_size, st.st_mtime_ns)
     except OSError:
         return None  # non-local path: let Spark infer
     if key not in _SCHEMA_CACHE:

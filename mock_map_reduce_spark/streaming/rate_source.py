@@ -18,7 +18,6 @@ downstream of ``load()`` is source-agnostic.
 
 from __future__ import annotations
 
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,7 +56,13 @@ def run_until_count(
     """
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(os.cpu_count() or 8))
+    # defaultParallelism, not os.cpu_count(): one state store per
+    # shuffle partition, so size it to the session's ACTUAL cores
+    # (local[$SPARK_GRAFT_CPUS]) — see run_to_memory.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism or 8),
+    )
     try:
         q = (
             stream_df.writeStream.outputMode("append")

@@ -93,7 +93,8 @@ def distinct_types_per_user(events: DataFrame) -> DataFrame:
 
         def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
             seen = {t for (t,) in self._seen.get()}
-            n = self._n.get()[0] if self._n.exists() else 0
+            cur = self._n.get()  # None when absent — one RPC, not two
+            n = cur[0] if cur is not None else 0
             for pdf in rows:
                 n += len(pdf)
                 new = set(pdf["event_type"].unique()) - seen
@@ -151,7 +152,10 @@ def type_counts_per_user(events: DataFrame) -> DataFrame:
                 for t in pdf["event_type"]:
                     local[t] = local.get(t, 0) + 1
             for t, add in sorted(local.items()):
-                cur = self._m.getValue((t,)) if self._m.containsKey((t,)) else None
+                # getValue() returns None for a missing key — the
+                # separate containsKey probe was a second proto RPC
+                # per (user, type) against the state server.
+                cur = self._m.getValue((t,))
                 self._m.updateValue((t,), ((cur[0] if cur else 0) + add,))
             snapshot = [(key[0], k[0], v[0]) for k, v in self._m.iterator()]
             yield pd.DataFrame(
@@ -387,10 +391,19 @@ def session_timeout_evictions(
             )
 
         def handleInputRows(self, key, rows, timerValues: TimerValues):  # noqa: ANN001
+            # ONE get() instead of exists()+get(): ValueState.get()
+            # returns None when the variable has no value, and every
+            # state op here is a synchronous proto RPC over the local
+            # state-server socket — at 150k keys/batch the extra
+            # round trip per key is measurable wall time (guide §4:
+            # the per-row/per-key boundary cost is the bottleneck, so
+            # cross it as few times as possible).
+            prev = self._sess.get()
             start = last = None
             n = 0
-            if self._sess.exists():
-                start, last, n = (int(x) for x in self._sess.get())
+            if prev is not None:
+                start, last, n = (int(x) for x in prev)
+            prev_last = last
             ts_all: list[int] = []
             for pdf in rows:
                 ts_all.extend(int(t) for t in pdf["ts_ms"])
@@ -406,12 +419,18 @@ def session_timeout_evictions(
                 else:
                     last = max(last, t)
                     n += 1
-            # re-arm: exactly one pending timer per key, at the open
-            # session's deadline
-            for t in self._handle.listTimers():
-                self._handle.deleteTimer(t)
+            # Re-arm: exactly one pending timer per key, at the open
+            # session's deadline. The pending timer's timestamp is
+            # derivable from the stored state (prev_last + gap_ms —
+            # this class's invariant), so the listTimers iterator RPC
+            # is unnecessary: delete the known deadline directly, and
+            # only when it actually moved (a fresh key has no timer;
+            # an unchanged deadline is already armed).
+            if last != prev_last:
+                if prev_last is not None:
+                    self._handle.deleteTimer(prev_last + gap_ms)
+                self._handle.registerTimer(last + gap_ms)
             self._sess.update((start, last, n))
-            self._handle.registerTimer(last + gap_ms)
             if out:
                 yield pd.DataFrame(
                     out,
@@ -424,8 +443,9 @@ def session_timeout_evictions(
         def handleExpiredTimer(
             self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
         ):  # noqa: ANN001
-            if self._sess.exists():
-                start, last, n = (int(x) for x in self._sess.get())
+            sess = self._sess.get()  # None when absent — one RPC, not two
+            if sess is not None:
+                start, last, n = (int(x) for x in sess)
                 self._sess.clear()
                 yield pd.DataFrame(
                     [(key[0], start, last, n, "timer")],

@@ -134,13 +134,18 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> No
     store commits per micro-batch (~10x overhead on a 32-core box; a
     real cluster sizes this to executor parallelism instead). The
     partition count only affects placement, not results; the prior
-    value is restored after the stream stops.
+    value is restored after the stream stops. Round-11: sized from
+    ``defaultParallelism`` (the session's ACTUAL core count — honors
+    local[$SPARK_GRAFT_CPUS]) instead of os.cpu_count(), which
+    over-provisioned state stores 4x when the driver benches at 8
+    cores on a 32-core box.
     """
-    import os
-
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(os.cpu_count() or 8))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism or 8),
+    )
     # COMPLETE-mode runs don't need the trailing no-data micro-batch:
     # every batch re-emits the full state, so the extra batch only
     # re-commits identical state store contents (one full batch of

@@ -210,3 +210,65 @@ def test_semantic_contamination_flags_planted_leak(spark, tmp_path):
     assert set(out) == {SC_BENCH_MAX_ID + 1}
     assert out[SC_BENCH_MAX_ID + 1].nearest_bench_id == 0
     assert out[SC_BENCH_MAX_ID + 1].cosine > 0.95
+
+
+def test_arrow_kernels_raise_on_ragged_or_null_embeddings(spark):
+    """Round-11 hardening: the dense-reshape Arrow kernels must FAIL
+    LOUDLY on ragged or null embedding lists instead of silently
+    computing wrong cosines/codes (round-10 VERDICT item 6)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import Row
+
+    ragged = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+            Row(vec_id=1, embedding=[0.0, 1.0, 0.0, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 1.0]),  # wrong dim, not a seed
+        ]
+    )
+    with pytest.raises(Exception) as ei:
+        cl.kmeans_lloyd(ragged, k=2, n_iter=1).collect()
+    assert "ragged or null" in str(ei.value)
+
+    nulled = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+            Row(vec_id=1, embedding=[0.0, 1.0, 0.0, 0.0]),
+            Row(vec_id=2, embedding=None),  # null row, not a seed
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception) as ei:
+        cl.semdedup(nulled, threshold=0.9, k=2, n_iter=1).collect()
+    assert "ragged or null" in str(ei.value)
+
+    from mock_map_reduce_spark.operators.similarity import pq_codes
+
+    ragged8 = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0] * 8),
+            Row(vec_id=1, embedding=[0.0] * 8),
+            Row(vec_id=2, embedding=[0.5] * 6),  # wrong dim, not a codeword
+        ]
+    )
+    with pytest.raises(Exception) as ei:
+        pq_codes(ragged8, dim=8, m=4, k=2).collect()
+    assert "ragged or null" in str(ei.value)
+
+
+def test_pq_codes_empty_codebook_returns_empty(spark):
+    """Round-10 ADVICE: an empty codebook (no rows with id < k) must
+    return an empty frame with the declared schema, like the pre-r10
+    broadcast-join formulation — not raise np.argmin on a 0-width
+    array."""
+    from pyspark.sql import Row
+
+    from mock_map_reduce_spark.operators.similarity import pq_codes
+
+    v = spark.createDataFrame(
+        [Row(vec_id=100, embedding=[1.0] * 8), Row(vec_id=101, embedding=[0.5] * 8)]
+    )
+    out = pq_codes(v, dim=8, m=4, k=2)  # no vec_id < 2 exists
+    assert out.columns == ["vec_id", "subspace", "code", "sqdist"]
+    assert out.count() == 0

@@ -83,13 +83,15 @@ def test_minhash_signatures_bounded_shuffle(spark, sf_dir):
     from mock_map_reduce_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    # md5 path: spread repartition + the min-agg exchange; the partial
-    # min collapses grams to one row per doc before the shuffle, so
-    # the exchange carries O(docs), never O(grams)
+    # md5 path (round-11): ONE map-only Arrow pass — the kernel emits a
+    # finished signature row per doc, so the only exchange is spread's
+    # repartition and no aggregate exists at all (the pre-r11 explode →
+    # md5 → partial-min pipeline shuffled O(docs) agg rows).
     sig = dd.minhash_signatures(docs)
-    assert count_exchanges(sig) <= 2
+    assert count_exchanges(sig) <= 1
     plan = executed_plan(sig)
-    assert "partial_min" in plan  # map-side combine proves the collapse
+    assert "MapInArrow" in plan
+    assert "HashAggregate" not in plan
     # xxhash64 fold path stays map-only (spread exchange only)
     assert count_exchanges(dd.minhash_signatures(docs, use_md5=False)) <= 1
 

@@ -33,6 +33,7 @@ def main() -> None:
     want_stages = "--stages" in argv
     want_plans = "--plans" in argv
     plans_suffix = "before"
+    plans_dir = os.environ.get("MMR_PLANS_DIR", "r10")
     for a in argv:
         if a.startswith("--plans="):
             want_plans, plans_suffix = True, a.split("=", 1)[1]
@@ -81,9 +82,9 @@ def main() -> None:
         walls[name] = time.time() - t0
         sc.setJobDescription(None)
         if want_plans:
-            os.makedirs(os.path.join(REPO, "plans", "r10"), exist_ok=True)
+            os.makedirs(os.path.join(REPO, "plans", plans_dir), exist_ok=True)
             with open(
-                os.path.join(REPO, "plans", "r10", f"{name}_{plans_suffix}.txt"), "w"
+                os.path.join(REPO, "plans", plans_dir, f"{name}_{plans_suffix}.txt"), "w"
             ) as fh:
                 fh.write(
                     df._jdf.queryExecution().explainString(
