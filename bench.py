@@ -178,9 +178,20 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in registry.QUERIES]
     samples: dict[str, list[float]] = {n: [] for n in names}
+    # Round-11 (r10 VERDICT item 8): bracket EVERY rep round with the
+    # all-cores calibration constant, not just the whole run — the
+    # host's throttle windows last tens of seconds, so a per-rep
+    # bracket lets per-QUERY normalized seconds be derived offline
+    # from BENCH_DETAIL alone (sample i of query q ran between
+    # calib_mt_reps[i] and calib_mt_reps[i+1]). Additions-only: the
+    # stdout contract and the min-of-N estimator are unchanged; the
+    # ~0.5-1.4 s calibration per rep round is OUTSIDE run_once's
+    # timed window.
+    calib_mt_reps: list[float] = [calib_mt_pre]
     for _ in range(reps):
         for name in names:
             samples[name].append(run_once(name))
+        calib_mt_reps.append(calibrate_mt())
 
     # Noise on a shared/virtualized host is strictly ONE-SIDED — CPU
     # steal, cgroup throttling, and GC pauses only ever ADD time — so
@@ -202,7 +213,9 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     total_median = round(sum(medians.values()), 3)
     calib = calibrate()
-    calib_mt = calibrate_mt()
+    # The post-run constant is the last per-rep bracket sample — no
+    # extra calibration needed (the final rep round just measured it).
+    calib_mt = calib_mt_reps[-1]
 
     # STDOUT CONTRACT: exactly one compact JSON line in the r1-r6 shape
     # the driver parses ({metric, value, unit, queries, sf} + small
@@ -237,6 +250,14 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "queries_minmax": minmax,
+                # Per-rep raw samples + per-rep calibration brackets:
+                # sample i of query q ran between calib_mt_reps[i] and
+                # calib_mt_reps[i+1] (rep-major order), so per-query
+                # host-normalized seconds are derivable offline.
+                "queries_samples": {
+                    n: [round(x, 3) for x in samples[n]] for n in names
+                },
+                "calib_mt_reps": calib_mt_reps,
                 "total_median": total_median,
                 "calib_sec": calib,
                 "calib_mt_pre": calib_mt_pre,

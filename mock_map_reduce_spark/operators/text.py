@@ -584,14 +584,23 @@ def bpe_train(
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         cur = seqs.select("freq", seq_expr.alias("seq"))
-        pairs = cur.select(
-            "freq",
-            F.explode(
-                F.expr(
-                    "transform(slice(split(seq, ' '), 1, size(split(seq, ' ')) - 1),"
-                    " (x, i) -> concat(x, ' ', split(seq, ' ')[i + 1]))"
-                )
-            ).alias("pair"),
+        # Round-11: split ONCE into a materialized token-array column —
+        # the previous inline form referenced split(seq,' ') inside the
+        # transform lambda (`split(seq,' ')[i+1]`), which re-ran the
+        # split once PER ELEMENT (no common-subexpression elimination
+        # inside higher-order functions) — the same O(tokens²) trap
+        # _grams_of documents. Pair strings are unchanged.
+        pairs = (
+            cur.select("freq", F.split("seq", " ").alias("__t"))
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(slice(__t, 1, size(__t) - 1),"
+                        " (x, i) -> concat(x, ' ', __t[i + 1]))"
+                    )
+                ).alias("pair"),
+            )
         )
         top = (
             pairs.groupBy("pair")
