@@ -548,19 +548,36 @@ def power_iteration_pc1(
     # accumulation below 2^62 (chunked by max|x| per batch), and the
     # partials merge as Python ints / DECIMAL(38,0) — bit-identical to
     # the oracle's per-product decimal sum in any grouping order.
+    # Round-11: mapInArrow + dense reshape instead of mapInPandas —
+    # `pdf["aq"].to_list()` materialized every row as a Python list of
+    # Python ints before the matmul; the Arrow list column is one flat
+    # int64 buffer + offsets, so the (rows, d) matrix is a zero-copy
+    # reshape. Same integer matmul, same chunk caps, same Decimal
+    # partial rows — bit-identical sums.
     def _gram_partials(batches):
-        import numpy as np
-        import pandas as pd
         from decimal import Decimal
+
+        import numpy as np
+        import pyarrow as pa
 
         G = S = None
         dim = 0
-        for pdf in batches:
-            arrs = pdf["aq"].to_list()
-            if not arrs:
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
                 continue
-            X = np.asarray(arrs, dtype=np.int64)
-            dim = X.shape[1]
+            acol = batch.column(batch.schema.get_field_index("aq"))
+            offs = np.asarray(acol.offsets, dtype=np.int64)
+            dim = int(offs[1] - offs[0]) if nrows else 0
+            # Dense-layout guard (same contract as the other kernels)
+            if acol.null_count or not np.all(np.diff(offs) == dim):
+                raise ValueError(
+                    "gram kernel requires dense fixed-dim null-free "
+                    f"quantized-vector lists (dim {dim}); got ragged "
+                    "or null rows"
+                )
+            flat = np.asarray(acol.values, dtype=np.int64)
+            X = flat[offs[0] : offs[0] + nrows * dim].reshape(nrows, dim)
             if G is None:
                 G = np.zeros((dim, dim), dtype=object)
                 S = np.zeros(dim, dtype=object)
@@ -572,14 +589,27 @@ def power_iteration_pc1(
                 S += C.sum(axis=0, dtype=np.int64).astype(object)
         if G is None:
             return
-        rows = [(i, -1, Decimal(int(S[i]))) for i in range(dim)]
-        rows += [
-            (i, j, Decimal(int(G[i, j]))) for i in range(dim) for j in range(i, dim)
-        ]
-        yield pd.DataFrame(rows, columns=["i", "j", "s"])
+        ii, jj, ss = [], [], []
+        for i in range(dim):
+            ii.append(i)
+            jj.append(-1)
+            ss.append(Decimal(int(S[i])))
+        for i in range(dim):
+            for j in range(i, dim):
+                ii.append(i)
+                jj.append(j)
+                ss.append(Decimal(int(G[i, j])))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ii, type=pa.int32()),
+                pa.array(jj, type=pa.int32()),
+                pa.array(ss, type=pa.decimal128(38, 0)),
+            ],
+            names=["i", "j", "s"],
+        )
 
     partial_rows = (
-        aq.mapInPandas(_gram_partials, "i int, j int, s decimal(38,0)")
+        aq.mapInArrow(_gram_partials, "i int, j int, s decimal(38,0)")
         .groupBy("i", "j")
         .agg(F.sum("s").cast(_D38).alias("s"))
         .collect()

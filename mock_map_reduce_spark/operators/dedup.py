@@ -569,35 +569,94 @@ def simhash(
     bit-reproducible in DuckDB so the catalog entry is
     oracle-checked. xxhash64 (default) is the fast single-fold path.
     """
+    if use_md5:
+        # Round-11: ONE map-only Arrow pass. The previous md5 pipeline
+        # exploded tokens (corpus-scale rows), then posexploded a
+        # 64-element ±1 vote array per token (64× the token count!)
+        # through TWO aggregation exchanges — at sf10 that was 668 s
+        # and the candidate query's gate-infra failure. The kernel
+        # computes the identical digest per doc: hashlib md5 == JVM/
+        # DuckDB md5, nibble i = hex char i of the digest, bit b votes
+        # +1 iff (nib[b//4] >> (b%4)) & 1, digest bit set iff the
+        # token-vote tally is > 0, bits folded with int64 wraparound
+        # exactly like the JVM's shiftleft sum. Zero-token docs emit no
+        # row, as the explode formulation did. (guide §4.2 + §2.3:
+        # shuffle NOTHING instead of tokens×64 vote rows.)
+        id_type = docs.schema[id_col].dataType.simpleString()
+        out_schema = f"{id_col} {id_type}, simhash bigint"
+        nib_count = bits // 4
+
+        def _simhash_kernel(batches):
+            import hashlib
+            import re
+
+            import numpy as np
+            import pyarrow as pa
+
+            tok_re = re.compile(_TOKEN_RE)
+            md5 = hashlib.md5
+            nbytes = (nib_count + 1) // 2
+            bitpos = np.arange(bits)
+            nibidx = bitpos // 4
+            shift = bitpos % 4
+            for batch in batches:
+                id_arr = batch.column(batch.schema.get_field_index(id_col))
+                texts = batch.column(
+                    batch.schema.get_field_index(text_col)
+                ).to_pylist()
+                out_id: list = []
+                out_sh: list[int] = []
+                for did, text in zip(id_arr.to_pylist(), texts):
+                    toks = [
+                        t for t in tok_re.split((text or "").lower()) if t
+                    ]
+                    if not toks:
+                        continue  # explode semantics: no tokens, no row
+                    raw = b"".join(md5(t.encode()).digest()[:nbytes] for t in toks)
+                    d = np.frombuffer(raw, dtype=np.uint8).reshape(
+                        len(toks), nbytes
+                    )
+                    # hex char order: char 2i = high nibble of byte i,
+                    # char 2i+1 = low nibble
+                    nib = np.empty((len(toks), nbytes * 2), dtype=np.uint8)
+                    nib[:, 0::2] = d >> 4
+                    nib[:, 1::2] = d & 15
+                    ones = ((nib[:, nibidx] >> shift) & 1).sum(
+                        axis=0, dtype=np.int64
+                    )
+                    # tally = ones - zeros = 2*ones - T; bit set iff > 0
+                    set_bits = np.nonzero(2 * ones - len(toks) > 0)[0]
+                    val = 0
+                    for b in set_bits:
+                        val |= 1 << int(b)
+                    if val >= 1 << 63:  # int64 two's-complement wrap,
+                        val -= 1 << 64  # matching the JVM shiftleft sum
+                    out_id.append(did)
+                    out_sh.append(val)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_id, type=id_arr.type),
+                        pa.array(out_sh, type=pa.int64()),
+                    ],
+                    names=[id_col, "simhash"],
+                )
+
+        return _spread(
+            docs.select(F.col(id_col), F.col(text_col)), heavy=True
+        ).mapInArrow(_simhash_kernel, out_schema)
+
     toks = _spread(docs.select(F.col(id_col), F.col(text_col)), heavy=True).select(
         F.col(id_col), F.explode(_norm_tokens(text_col)).alias("tok")
     )
-    if use_md5:
-        # nibble i = value of hex char i of md5(tok); bit b lives at
-        # nibble b//4, position b%4. conv() is codegen'd — no UDF.
-        hexd = F.md5(F.col("tok"))
-        nibs = [
-            F.conv(F.substring(hexd, i + 1, 1), 16, 10).cast("int")
-            for i in range(bits // 4)
+    h = F.xxhash64("tok")
+    # Per-token ±1 vote per bit; bit positions are Python literals
+    # so shiftright gets the int it requires.
+    bit_votes = F.array(
+        *[
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            for b in range(bits)
         ]
-        bit_votes = F.array(
-            *[
-                F.when(
-                    F.shiftright(nibs[b // 4], b % 4).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-                for b in range(bits)
-            ]
-        )
-    else:
-        h = F.xxhash64("tok")
-        # Per-token ±1 vote per bit; bit positions are Python literals
-        # so shiftright gets the int it requires.
-        bit_votes = F.array(
-            *[
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                for b in range(bits)
-            ]
-        )
+    )
     votes = toks.select(
         F.col(id_col), F.posexplode(bit_votes).alias("bit", "vote")
     )

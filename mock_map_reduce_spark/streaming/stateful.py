@@ -149,8 +149,9 @@ def type_counts_per_user(events: DataFrame) -> DataFrame:
         def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
             local: dict[str, int] = {}
             for pdf in rows:
-                for t in pdf["event_type"]:
-                    local[t] = local.get(t, 0) + 1
+                # vectorized tally instead of a per-row Python loop
+                for t, c in pdf["event_type"].value_counts().items():
+                    local[t] = local.get(t, 0) + int(c)
             for t, add in sorted(local.items()):
                 # getValue() returns None for a missing key — the
                 # separate containsKey probe was a second proto RPC
@@ -406,7 +407,9 @@ def session_timeout_evictions(
             prev_last = last
             ts_all: list[int] = []
             for pdf in rows:
-                ts_all.extend(int(t) for t in pdf["ts_ms"])
+                # bulk int64 -> python-int conversion (tolist), not a
+                # per-element generator
+                ts_all.extend(pdf["ts_ms"].tolist())
             out: list[tuple] = []
             for t in sorted(ts_all):
                 if start is None:

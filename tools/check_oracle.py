@@ -179,6 +179,15 @@ def main() -> int:
     con.execute(
         f"SET memory_limit='{os.environ.get('MMR_DUCKDB_MEMLIMIT', '24GB')}'"
     )
+    # Bound the oracle's SPILL too: at sf10 a pair-emitting oracle
+    # (dedup_clusters' recursive components) spilled >70 GB and nearly
+    # filled the sandbox disk (the round-10 sweep died exactly this
+    # way). With a cap the query fails cleanly as gate-infra instead of
+    # taking the machine down.
+    con.execute(
+        "SET max_temp_directory_size="
+        f"'{os.environ.get('MMR_DUCKDB_TEMPLIMIT', '40GB')}'"
+    )
     # Per-process spill dir: DuckDB's default temp_directory is the
     # RELATIVE '.tmp', so parallel sweep chunks running from the same
     # cwd share it — one process cleaning up removed another's spill
